@@ -1,0 +1,320 @@
+"""Physical sharded index: term-bucketed, segment-partitioned,
+varint-compressed posting shards with per-group checkpoint manifests.
+
+Layout on disk (parquet + JSON bookkeeping):
+
+  <dir>/stats.json                 N, avgdl, config, lineage
+  <dir>/doc_stats.parquet          (doc_id, dl)
+  <dir>/shards/group=G/...         SHARD rows, partitioned by bucket
+  <dir>/manifests/group_G.json     per-group checkpoint: status,
+                                   metrics (postings, bytes, skew),
+                                   lineage (input rows, config hash)
+
+Shard row = one (term, segment): segment = pmod(xxhash64(doc_id), S)
+splits every hot term's postings across S groups, so no single
+aggregation group ever exceeds ~1/S of the hottest term — the
+explicit skew handling the vanilla groupBy(term) lacks. Segments are
+disjoint doc sets, so BM25 additivity makes query-time merging free
+(treat each (term, segment) as an independent posting list).
+
+Builds are resumable: each bucket-group is an independent job whose
+manifest marks completion; re-running skips complete groups (the
+driver-visible crash-recovery path). Buckets give query-time
+partition pruning: a query touches only the buckets its terms hash
+to.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import time
+from dataclasses import asdict
+from pathlib import Path
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bm25_chroma_spark.config import BM25Config, DEFAULT_CONFIG
+from bm25_chroma_spark.index.encode import encode_postings
+from bm25_chroma_spark.operators.index_build import tokenize_docs
+
+SHARD_DDL = (
+    "bucket int, term string, segment int, df long, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "blocks array<struct<first_doc: long, n: int, max_tf: int, "
+    "min_dl: int, doc_off: int, tf_off: int, dl_off: int>>"
+)
+
+
+def _config_hash(config: BM25Config) -> str:
+    return hashlib.sha256(
+        json.dumps(asdict(config), sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def _encode_bucket_segment(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """One (bucket, segment) slice -> one shard row per term.
+
+    Vectorized: numpy sort once, then per-term slices feed the codec.
+    """
+    out = []
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    bucket = int(pdf["bucket"].iloc[0])
+    segment = int(pdf["segment"].iloc[0])
+    for term, grp in pdf.groupby("term", sort=False):
+        enc = encode_postings(
+            grp["doc_id"].to_numpy(np.int64),
+            grp["tf"].to_numpy(np.int64),
+            grp["dl"].to_numpy(np.int64),
+            block_size=block_size,
+        )
+        out.append(
+            {
+                "bucket": bucket,
+                "term": term,
+                "segment": segment,
+                "df": enc.count,
+                "doc_bytes": enc.doc_bytes,
+                "tf_bytes": enc.tf_bytes,
+                "dl_bytes": enc.dl_bytes,
+                "blocks": enc.blocks,
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def build_sharded_index(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: BM25Config = DEFAULT_CONFIG,
+    bucket_groups: int = 4,
+    resume: bool = True,
+    use_jvm_tokenizer: bool = False,
+    _fail_after_groups: Optional[int] = None,
+) -> dict:
+    """Build (or resume) the physical index. Returns build metrics.
+
+    ``_fail_after_groups`` is a test hook that aborts mid-build to
+    exercise the resume path.
+    """
+    base = Path(out_dir)
+    (base / "manifests").mkdir(parents=True, exist_ok=True)
+    spark = docs.sparkSession
+    cfg_hash = _config_hash(config)
+
+    tokenized = tokenize_docs(docs, id_col, text_col, use_jvm_tokenizer)
+    tokenized = tokenized.persist()
+
+    stats_path = base / "stats.json"
+    if not (resume and stats_path.exists()):
+        row = tokenized.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        tokenized.select("doc_id", "dl").write.mode("overwrite").parquet(
+            str(base / "doc_stats.parquet")
+        )
+        stats = {
+            "n_docs": int(row["n"] or 0),
+            "avgdl": float(row["avgdl"] or 0.0),
+            "config": asdict(config),
+            "config_hash": cfg_hash,
+            "built_at": time.time(),
+        }
+        stats_path.write_text(json.dumps(stats, indent=2))
+    else:
+        stats = json.loads(stats_path.read_text())
+        if stats["config_hash"] != cfg_hash:
+            raise ValueError("resume with different config")
+
+    flat = tokenized.select(
+        "doc_id", "dl", F.explode("terms").alias("t")
+    ).select(
+        F.col("t.term").alias("term"),
+        "doc_id",
+        F.col("t.tf").alias("tf"),
+        "dl",
+        # crc32 (not xxhash64): Python's zlib.crc32 computes the same
+        # value, so the driver can prune buckets for query terms
+        # without a JVM round-trip.
+        F.pmod(
+            F.crc32(F.encode(F.col("t.term"), "utf-8")),
+            F.lit(config.num_term_buckets),
+        )
+        .cast("int")
+        .alias("bucket"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(config.salt_factor))
+        .cast("int")
+        .alias("segment"),
+    )
+
+    block_size = config.block_size
+    done_groups = 0
+    totals = {"postings": 0, "terms": 0, "bytes": 0, "wall_sec": 0.0}
+    for g in range(bucket_groups):
+        man_path = base / "manifests" / f"group_{g}.json"
+        if resume and man_path.exists():
+            man = json.loads(man_path.read_text())
+            if man.get("status") == "complete" and man.get(
+                "config_hash"
+            ) == cfg_hash:
+                for k in ("postings", "terms", "bytes"):
+                    totals[k] += man["metrics"][k]
+                continue
+        if _fail_after_groups is not None and done_groups >= _fail_after_groups:
+            raise RuntimeError(f"injected failure before group {g}")
+
+        t0 = time.time()
+        part = flat.filter(
+            F.pmod(F.col("bucket"), F.lit(bucket_groups)) == g
+        )
+        shards = part.groupBy("bucket", "segment").applyInPandas(
+            lambda pdf: _encode_bucket_segment(pdf, block_size),
+            schema=SHARD_DDL,
+        )
+        gdir = base / "shards" / f"group={g}"
+        shards.write.mode("overwrite").partitionBy("bucket").parquet(
+            str(gdir)
+        )
+
+        written = spark.read.parquet(str(gdir))
+        m = written.agg(
+            F.sum("df").alias("postings"),
+            F.countDistinct("term").alias("terms"),
+            (
+                F.sum(F.length("doc_bytes"))
+                + F.sum(F.length("tf_bytes"))
+                + F.sum(F.length("dl_bytes"))
+            ).alias("bytes"),
+            F.max("df").alias("max_seg_df"),
+            F.avg("df").alias("avg_seg_df"),
+        ).collect()[0]
+        wall = time.time() - t0
+        manifest = {
+            "group": g,
+            "status": "complete",
+            "config_hash": cfg_hash,
+            "lineage": {
+                "input_docs": stats["n_docs"],
+                "tokenizer": "jvm" if use_jvm_tokenizer else "pandas",
+            },
+            "metrics": {
+                "postings": int(m["postings"] or 0),
+                "terms": int(m["terms"] or 0),
+                "bytes": int(m["bytes"] or 0),
+                "skew_ratio": (
+                    float(m["max_seg_df"] / m["avg_seg_df"])
+                    if m["avg_seg_df"]
+                    else 0.0
+                ),
+                "wall_sec": wall,
+            },
+        }
+        man_path.write_text(json.dumps(manifest, indent=2))
+        done_groups += 1
+        for k in ("postings", "terms", "bytes"):
+            totals[k] += manifest["metrics"][k]
+        totals["wall_sec"] += wall
+
+    tokenized.unpersist()
+    return {"groups": bucket_groups, **totals, "n_docs": stats["n_docs"],
+            "avgdl": stats["avgdl"]}
+
+
+class ShardedIndex:
+    """Query handle over a built shard directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = Path(path)
+        stats = json.loads((self.path / "stats.json").read_text())
+        self.n_docs: int = stats["n_docs"]
+        self.avgdl: float = stats["avgdl"]
+        self.config = BM25Config(**stats["config"])
+
+    def shards_for_terms(self, terms: List[str]) -> DataFrame:
+        """Scan only the buckets/groups the query terms hash to —
+        directory-level pruning (group dirs + bucket partition) plus
+        parquet row-group pushdown on term."""
+        cfg = self.config
+        n_groups = _groups(self.path)
+        buckets = sorted({bucket_of(t, cfg.num_term_buckets) for t in terms})
+        groups = sorted({b % n_groups for b in buckets})
+        paths = [str(self.path / "shards" / f"group={g}") for g in groups]
+        df = self.spark.read.option(
+            "basePath", str(self.path / "shards")
+        ).parquet(*paths)
+        return df.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(str(self.path / "doc_stats.parquet"))
+
+    def term_dfs(self, terms: List[str]) -> DataFrame:
+        """Global df per term = sum over segments (capped like the
+        reference if a cap is configured)."""
+        agg = (
+            self.shards_for_terms(terms)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        cap = self.config.max_postings_per_term
+        if cap:
+            agg = agg.withColumn("df", F.least(F.col("df"), F.lit(cap)))
+        return agg
+
+
+def _groups(base: Path) -> int:
+    return len(list((base / "manifests").glob("group_*.json")))
+
+
+def bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side mirror of the build's bucket assignment
+    (pmod(crc32(utf8(term)), n_buckets))."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def decode_shards_to_postings(shards: DataFrame) -> DataFrame:
+    """mapInPandas decode: shard rows -> (term, segment, doc_id, tf, dl).
+
+    The exhaustive query path; also the golden check for the codec at
+    scale.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bm25_chroma_spark.index.encode import decode_all
+
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                blocks = [dict(b) for b in r.blocks]
+                d, t, l = decode_all(
+                    bytes(r.doc_bytes), bytes(r.tf_bytes), bytes(r.dl_bytes),
+                    blocks,
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "term": r.term,
+                            "segment": r.segment,
+                            "doc_id": d,
+                            "tf": t,
+                            "dl": l,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return shards.mapInPandas(
+        gen, schema="term string, segment int, doc_id long, tf long, dl long"
+    )

@@ -1,0 +1,315 @@
+"""Query execution over the physical sharded index.
+
+Two strategies, property-tested to produce identical top-k:
+
+* ``exhaustive`` — decode every matching shard (mapInPandas), score
+  with the same JVM column expressions as the logical path, rank.
+  Simple, fully distributed, the correctness baseline.
+
+* ``wand`` — Block-Max WAND (Ding & Suel, SIGIR'11) document-at-a-time
+  pruning inside a grouped pandas UDF: one group per query holds that
+  query's (term, segment) shard rows; cursors skip whole blocks whose
+  upper bound cannot beat the running top-k threshold. Segments are
+  disjoint doc sets per term, so each (term, segment) acts as an
+  independent posting list — additivity keeps the algorithm exact.
+
+Pruning uses a conservative epsilon (skip only when the bound is
+below threshold - 1e-12) so float drift can never drop a true top-k
+member; final ranking is exact on the surviving candidates.
+
+The query-time per-term cap (reference bm25.py:283) is a semantic of
+the *logical* tf-ordered list; the sharded path stores doc-ordered
+segments and implements uncapped scoring — parity corpora are sized
+so the cap never binds (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bm25_chroma_spark.index.encode import varint_decode
+from bm25_chroma_spark.index.shards import (
+    ShardedIndex,
+    decode_shards_to_postings,
+)
+from bm25_chroma_spark.operators.scoring import bm25_score_expr, query_terms
+
+_EPS = 1e-12
+
+
+class _Cursor:
+    """One (term, segment) posting list with block-skip support."""
+
+    __slots__ = (
+        "doc_b", "tf_b", "dl_b", "first", "n", "max_tf", "min_dl",
+        "d_off", "t_off", "l_off", "weight", "k1", "b", "avgdl",
+        "bi", "pos", "docs", "tfs", "dls", "cur", "global_ub", "ubs",
+        "nblocks",
+    )
+
+    def __init__(self, row, idf_w: float, k1: float, b: float, avgdl: float):
+        self.doc_b = bytes(row.doc_bytes)
+        self.tf_b = bytes(row.tf_bytes)
+        self.dl_b = bytes(row.dl_bytes)
+        blocks = [dict(x) for x in row.blocks]
+        self.first = np.array([x["first_doc"] for x in blocks], dtype=np.int64)
+        self.n = np.array([x["n"] for x in blocks], dtype=np.int64)
+        self.max_tf = np.array([x["max_tf"] for x in blocks], dtype=np.float64)
+        self.min_dl = np.array([x["min_dl"] for x in blocks], dtype=np.float64)
+        self.d_off = np.array(
+            [x["doc_off"] for x in blocks] + [len(self.doc_b)], dtype=np.int64
+        )
+        self.t_off = np.array(
+            [x["tf_off"] for x in blocks] + [len(self.tf_b)], dtype=np.int64
+        )
+        self.l_off = np.array(
+            [x["dl_off"] for x in blocks] + [len(self.dl_b)], dtype=np.int64
+        )
+        self.nblocks = len(blocks)
+        self.weight = idf_w  # idf * qtf
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        denom = self.max_tf + k1 * (1.0 - b + b * self.min_dl / avgdl)
+        self.ubs = (
+            idf_w * (self.max_tf * (k1 + 1.0)) / denom / np.sqrt(self.min_dl)
+        )
+        self.global_ub = float(self.ubs.max()) if self.nblocks else 0.0
+        self.bi = -1
+        self._load_block(0)
+
+    def _load_block(self, bi: int):
+        if bi >= self.nblocks:
+            self.cur = math.inf
+            return
+        self.bi = bi
+        deltas = varint_decode(
+            self.doc_b[self.d_off[bi]:self.d_off[bi + 1]]
+        ).astype(np.int64)
+        self.docs = self.first[bi] + np.cumsum(deltas)
+        self.tfs = varint_decode(
+            self.tf_b[self.t_off[bi]:self.t_off[bi + 1]]
+        ).astype(np.float64)
+        self.dls = varint_decode(
+            self.dl_b[self.l_off[bi]:self.l_off[bi + 1]]
+        ).astype(np.float64)
+        self.pos = 0
+        self.cur = int(self.docs[0])
+
+    def block_ub(self) -> float:
+        return float(self.ubs[self.bi]) if self.cur != math.inf else 0.0
+
+    def block_boundary(self) -> int:
+        """Largest doc id that could live in the current block."""
+        if self.cur == math.inf:
+            return 1 << 62
+        if self.bi + 1 < self.nblocks:
+            return int(self.first[self.bi + 1]) - 1
+        return 1 << 62
+
+    def next_geq(self, target: int):
+        if self.cur == math.inf or self.cur >= target:
+            return
+        # block containing target: last block with first_doc <= target
+        bi = int(np.searchsorted(self.first, target, side="right")) - 1
+        bi = max(bi, self.bi)
+        if bi != self.bi:
+            self._load_block(bi)
+            if self.cur == math.inf:
+                return
+        pos = int(np.searchsorted(self.docs, target, side="left"))
+        while pos >= len(self.docs):
+            if self.bi + 1 >= self.nblocks:
+                self.cur = math.inf
+                return
+            self._load_block(self.bi + 1)
+            pos = int(np.searchsorted(self.docs, target, side="left"))
+        self.pos = pos
+        self.cur = int(self.docs[pos])
+
+    def advance(self):
+        self.next_geq(self.cur + 1)
+
+    def score_current(self) -> float:
+        tf = self.tfs[self.pos]
+        dl = self.dls[self.pos]
+        denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        return (
+            self.weight * (tf * (self.k1 + 1.0)) / denom / math.sqrt(dl)
+        )
+
+
+def _bmw_topk(cursors: List[_Cursor], top_k: int) -> List[tuple]:
+    """Block-Max WAND over independent posting-list cursors.
+
+    Returns [(doc_id, score)] — exact top-k by (score desc, doc_id asc)
+    thanks to conservative epsilon pruning.
+    """
+    heap: List[tuple] = []  # (score, -doc_id) min-heap of current top-k
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= top_k else -math.inf
+
+    live = [c for c in cursors if c.cur != math.inf]
+    while live:
+        live.sort(key=lambda c: c.cur)
+        # pivot: smallest p with cumulative global ub above threshold
+        acc = 0.0
+        p = -1
+        t = theta()
+        for i, c in enumerate(live):
+            acc += c.global_ub
+            if acc >= t - _EPS:  # conservative: never skip a tie
+                p = i
+                break
+        if p == -1:
+            break  # no document can beat theta
+        pivot_doc = live[p].cur
+        if pivot_doc == math.inf:
+            break
+        if live[0].cur == pivot_doc:
+            for c in live[: p + 1]:
+                c.next_geq(pivot_doc)
+            blk_ub = sum(
+                c.block_ub() for c in live[: p + 1] if c.cur != math.inf
+            )
+            # include lists beyond p already sitting on pivot_doc
+            for c in live[p + 1:]:
+                if c.cur == pivot_doc:
+                    blk_ub += c.block_ub()
+            if blk_ub >= theta() - _EPS:
+                score = 0.0
+                matched = [c for c in live if c.cur == pivot_doc]
+                for c in matched:
+                    score += c.score_current()
+                item = (score, -pivot_doc)
+                if len(heap) < top_k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                for c in matched:
+                    c.advance()
+            else:
+                # shallow advance past the cheapest block boundary —
+                # capped at the next list's current doc: beyond it,
+                # lists > p contribute and the block bound no longer
+                # covers the total score (Ding & Suel's d' rule)
+                d2 = min(c.block_boundary() for c in live[: p + 1]) + 1
+                if p + 1 < len(live):
+                    d2 = min(d2, int(live[p + 1].cur))
+                d2 = max(d2, pivot_doc + 1)
+                for c in live[: p + 1]:
+                    if c.cur < d2:
+                        c.next_geq(d2)
+        else:
+            # advance the highest-impact list strictly below the pivot
+            # (one at the pivot already would make next_geq a no-op
+            # and stall the loop)
+            behind = [c for c in live[:p] if c.cur < pivot_doc]
+            cand = max(behind, key=lambda c: c.global_ub)
+            cand.next_geq(pivot_doc)
+        live = [c for c in live if c.cur != math.inf]
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def search_sharded(
+    index: ShardedIndex,
+    queries: DataFrame,
+    top_k: int = 50,
+    strategy: str = "exhaustive",
+    score_round: Optional[int] = None,
+) -> DataFrame:
+    """-> (query_id, doc_id, score, rank). Query terms drive bucket
+    pruning; unknown terms drop out via the inner join (reference
+    'continue', bm25.py:277-278)."""
+    cfg = index.config
+    qt = query_terms(queries)
+    qt_rows = qt.collect()  # queries are tiny by contract
+    terms = sorted({r["term"] for r in qt_rows})
+    if not terms:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank int"
+        )
+    spark = queries.sparkSession
+    shards = index.shards_for_terms(terms)
+    dfs = index.term_dfs(terms)  # (term, df) — small
+
+    n, avgdl = float(index.n_docs), float(index.avgdl)
+
+    if strategy == "exhaustive":
+        decoded = decode_shards_to_postings(shards)
+        joined = decoded.join(F.broadcast(dfs), "term").join(
+            F.broadcast(qt), "term"
+        )
+        contrib = bm25_score_expr(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("df").cast("double"),
+            index.n_docs,
+            avgdl,
+            cfg.k1,
+            cfg.b,
+        ) * F.col("qtf").cast("double")
+        scores = (
+            joined.select("query_id", "doc_id", contrib.alias("c"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("c").alias("score"))
+        )
+        if score_round is not None:
+            scores = scores.withColumn(
+                "score", F.round("score", score_round)
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scores.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
+    if strategy != "wand":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # --- Block-Max WAND: one pandas group per query ---
+    dfs_g = dfs.withColumnRenamed("df", "df_global")
+    qshards = shards.join(F.broadcast(dfs_g), "term").join(
+        F.broadcast(qt), "term"
+    )
+    k1, b = cfg.k1, cfg.b
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = []
+        for r in pdf.itertuples(index=False):
+            df_t = float(r.df_global)
+            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+            w = idf * float(r.qtf)
+            if len(r.blocks) == 0:
+                continue
+            cursors.append(_Cursor(r, w, k1, b, avgdl))
+        top = _bmw_topk(cursors, top_k)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": [d for d, _ in top],
+                "score": [s for _, s in top],
+                "rank": range(1, len(top) + 1),
+            }
+        )
+
+    out = qshards.groupBy("query_id").applyInPandas(
+        run_query,
+        schema="query_id long, doc_id long, score double, rank int",
+    )
+    if score_round is not None:
+        out = out.withColumn("score", F.round("score", score_round))
+    return out

@@ -1,0 +1,73 @@
+"""Randomized pruning-equivalence: Block-Max WAND == exhaustive
+scoring on arbitrary posting lists (no Spark; exercises the cursor
+machinery, block skipping, tie handling, threshold updates)."""
+
+from __future__ import annotations
+
+import collections
+import math
+from types import SimpleNamespace
+
+import numpy as np
+
+from bm25_chroma_spark.index.encode import encode_postings
+from bm25_chroma_spark.index.wand import _bmw_topk, _Cursor
+
+K1, B = 1.5, 0.75
+
+
+def _make_row(doc_ids, tfs, dls, bs):
+    enc = encode_postings(
+        np.array(doc_ids), np.array(tfs), np.array(dls), block_size=bs
+    )
+    return SimpleNamespace(
+        doc_bytes=enc.doc_bytes,
+        tf_bytes=enc.tf_bytes,
+        dl_bytes=enc.dl_bytes,
+        blocks=enc.blocks,
+    )
+
+
+def _exhaustive(lists, k, avgdl):
+    acc = collections.defaultdict(float)
+    for docs, tfs, dls, w in lists:
+        for d, tf, dl in zip(docs, tfs, dls):
+            denom = tf + K1 * (1 - B + B * dl / avgdl)
+            acc[d] += w * (tf * (K1 + 1)) / denom / math.sqrt(dl)
+    return sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_bmw_equals_exhaustive_randomized():
+    rng = np.random.RandomState(12345)
+    avgdl = 50.0
+    for trial in range(400):
+        nlists = rng.randint(1, 7)
+        lists, cursors = [], []
+        for _ in range(nlists):
+            n = rng.randint(1, 80)
+            docs = np.cumsum(rng.randint(1, 20, n)).astype(np.int64)
+            tfs = rng.randint(1, 9, n).astype(np.int64)
+            dls = rng.randint(10, 100, n).astype(np.int64)
+            w = float(rng.uniform(0.1, 3.0))
+            row = _make_row(docs, tfs, dls, bs=int(rng.randint(1, 9)))
+            cursors.append(_Cursor(row, w, K1, B, avgdl))
+            lists.append((docs, tfs, dls, w))
+        k = int(rng.randint(1, 15))
+        got = _bmw_topk(cursors, k)
+        want = _exhaustive(lists, k, avgdl)
+        assert len(got) == len(want), trial
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd, (trial, got, want)
+            assert math.isclose(gs, ws, rel_tol=1e-9), (trial, gd, gs, ws)
+
+
+def test_bmw_tie_scores():
+    """Identical postings in two lists -> exact score ties; ranking
+    must prefer smaller doc_id and never drop a tied doc."""
+    docs = np.array([10, 20, 30, 40], dtype=np.int64)
+    tfs = np.array([2, 2, 2, 2], dtype=np.int64)
+    dls = np.array([50, 50, 50, 50], dtype=np.int64)
+    row = _make_row(docs, tfs, dls, bs=2)
+    cursors = [_Cursor(row, 1.0, K1, B, 50.0)]
+    got = _bmw_topk(cursors, 2)
+    assert [d for d, _ in got] == [10, 20]
