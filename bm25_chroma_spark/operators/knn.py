@@ -1,0 +1,215 @@
+"""Vector-search leg: exact brute-force KNN (deterministic, replacing
+the reference's ChromaDB/HNSW ANN — hybrid_retriever.py:251-273, whose
+results are build-order dependent) plus an LSH-bucketed approximate
+variant as the at-scale path.
+
+Distance/score transforms mirror the reference:
+  similarity = 1 / (1 + distance)      (hybrid_retriever.py:266)
+
+All distance math is JVM-side higher-order array functions
+(zip_with + aggregate) — no Python in the scoring loop. Query vectors
+are broadcast as literal arrays (queries are tiny by contract).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def _queries_df(spark, query_vecs: Sequence[Sequence[float]]) -> DataFrame:
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)]
+    return spark.createDataFrame(rows, "query_id long, qvec array<double>")
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    score_round: Optional[int] = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    -> (query_id, vec_id, dist, sim, rank); sim = 1/(1+dist).
+    dist = 1 - cosine for metric='cosine', L2 for 'l2'.
+    Plan shape: broadcast(queries) x embeddings -> per-partition
+    top-k via window group limit; no full sort of the corpus.
+    """
+    spark = embeddings.sparkSession
+    q = _queries_df(spark, query_vecs)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    joined = e.crossJoin(F.broadcast(q))
+    if metric == "cosine":
+        cos = _dot(F.col("vec"), F.col("qvec")) / (
+            _norm(F.col("vec")) * _norm(F.col("qvec"))
+        )
+        dist = F.lit(1.0) - cos
+    elif metric == "l2":
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec"), F.col("qvec"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = joined.select(
+        "query_id", "vec_id", dist.alias("dist")
+    )
+    if score_round is not None:
+        scored = scored.withColumn("dist", F.round("dist", score_round))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("vec_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("sim", F.lit(1.0) / (F.lit(1.0) + F.col("dist")))
+    )
+    if score_round is not None:
+        out = out.withColumn("sim", F.round("sim", score_round))
+    return out.select("query_id", "vec_id", "dist", "sim", "rank")
+
+
+# ------------------------------------------------------------------ #
+# LSH (random hyperplane / signed random projection) — the scale path #
+# ------------------------------------------------------------------ #
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, tiny)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def _signature(vec_col, planes: List[List[float]]):
+    """Bit-signature: sign of the projection onto each plane, packed
+    into a long (n_planes <= 62). Pure column expressions."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        sig = sig + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate KNN: signed-random-projection buckets, multi-table,
+    query-side multi-probe.
+
+    Candidates = corpus rows sharing a bucket with the query in ANY of
+    the ``n_tables`` independent tables, where the query probes its own
+    bucket plus every bucket within Hamming distance ``multiprobe`` (the
+    probe fan-out lives on the tiny broadcast side — the corpus is
+    hashed exactly once per table). Exact cosine re-rank on the
+    candidate set. At 100 TB the bucket join replaces the full cross
+    join: cost ~ corpus_size * tables * (1 + planes*probe) / 2^planes
+    per query.
+    """
+    spark = embeddings.sparkSession
+    dim = len(query_vecs[0])
+    q = _queries_df(spark, query_vecs)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    # probe masks: 0 (own bucket) + single-bit flips (+ 2-bit flips...)
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    masks_col = F.array(*[F.lit(m).cast("long") for m in masks])
+
+    cand = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        e_sig = e.select(
+            "vec_id", "vec", _signature(F.col("vec"), planes).alias("sig")
+        )
+        q_sig = q.select(
+            "query_id",
+            "qvec",
+            F.explode(
+                F.transform(
+                    masks_col,
+                    lambda m: _signature(F.col("qvec"), planes)
+                    .bitwiseXOR(m),
+                )
+            ).alias("sig"),
+        )
+        pairs = e_sig.join(F.broadcast(q_sig), "sig").select(
+            "query_id", "vec_id", "vec", "qvec"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+
+    cand = cand.dropDuplicates(["query_id", "vec_id"])
+    cos = _dot(F.col("vec"), F.col("qvec")) / (
+        _norm(F.col("vec")) * _norm(F.col("qvec"))
+    )
+    scored = cand.select(
+        "query_id", "vec_id", (F.lit(1.0) - cos).alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("sim", F.lit(1.0) / (F.lit(1.0) + F.col("dist")))
+        .select("query_id", "vec_id", "dist", "sim", "rank")
+    )
+
+
+def lsh_recall_vs_exact(
+    embeddings: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    **lsh_kwargs,
+) -> float:
+    """Fraction of exact top-k recovered by the LSH path (diagnostic)."""
+    exact = knn_bruteforce(embeddings, query_vecs, k=k)
+    approx = knn_lsh(embeddings, query_vecs, k=k, **lsh_kwargs)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    return len(ex & ap) / max(len(ex), 1)

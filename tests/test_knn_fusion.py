@@ -1,0 +1,139 @@
+"""Vector leg + RRF fusion: exact KNN vs numpy oracle, LSH recall,
+fusion vs the reference RRF semantics."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from bm25_chroma_spark.operators.fusion import rrf_fuse, rrf_fuse_py
+from bm25_chroma_spark.operators.knn import (
+    knn_bruteforce,
+    knn_lsh,
+    lsh_recall_vs_exact,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb_df):
+    rows = emb_df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _numpy_topk(ids, mat, qv, k):
+    qv = np.asarray(qv, dtype=np.float64)
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    dist = 1.0 - cos
+    order = np.lexsort((ids, dist))[:k]
+    return [(int(ids[i]), float(dist[i])) for i in order]
+
+
+def test_knn_exact_matches_numpy(spark, emb_df, emb_np):
+    ids, mat = emb_np
+    queries = [mat[3].tolist(), mat[77].tolist(), (mat[5] + 0.1).tolist()]
+    res = knn_bruteforce(emb_df, queries, k=7)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["dist"], r["sim"])
+        )
+    for qid, qv in enumerate(queries):
+        want = _numpy_topk(ids, mat, qv, 7)
+        rows = sorted(got[qid])
+        assert [v for _, v, _, _ in rows] == [d for d, _ in want]
+        for (_, _, dist, sim), (_, wd) in zip(rows, want):
+            assert math.isclose(dist, wd, rel_tol=1e-9, abs_tol=1e-12)
+            assert math.isclose(sim, 1.0 / (1.0 + dist), rel_tol=1e-12)
+
+
+def test_knn_self_is_nearest(spark, emb_df, emb_np):
+    ids, mat = emb_np
+    res = knn_bruteforce(emb_df, [mat[42].tolist()], k=1).collect()
+    assert res[0]["vec_id"] == int(ids[42])
+    assert res[0]["dist"] < 1e-9
+
+
+def test_knn_l2(spark, emb_df, emb_np):
+    ids, mat = emb_np
+    qv = mat[10]
+    res = knn_bruteforce(emb_df, [qv.tolist()], k=5, metric="l2").collect()
+    d = np.linalg.norm(mat - qv, axis=1)
+    order = np.lexsort((ids, d))[:5]
+    assert [r["vec_id"] for r in sorted(res, key=lambda r: r["rank"])] == [
+        int(ids[i]) for i in order
+    ]
+
+
+def test_lsh_recall(spark, emb_df, emb_np):
+    ids, mat = emb_np
+    queries = [mat[i].tolist() for i in (1, 50, 200)]
+    recall = lsh_recall_vs_exact(
+        emb_df, queries, k=10, n_planes=6, n_tables=8, multiprobe=1
+    )
+    # fixture embeddings are weakly clustered (true neighbors at
+    # cosine dist ~0.6+), a hard case for hyperplane LSH
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_lsh_shape(spark, emb_df, emb_np):
+    _, mat = emb_np
+    res = knn_lsh(emb_df, [mat[0].tolist()], k=5, n_planes=8, n_tables=4)
+    rows = res.collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0]["vec_id"] is not None
+
+
+def test_rrf_matches_reference_semantics(spark):
+    """Spark fusion == driver-side reference-shaped fusion on the same
+    ranked lists, across ratios (reference hybrid_retriever.py:11-26)."""
+    bm25 = [(1, 101, 1), (1, 102, 2), (1, 103, 3), (2, 201, 1)]
+    vec = [(1, 102, 1), (1, 104, 2), (2, 202, 1), (2, 201, 2)]
+    bm25_df = spark.createDataFrame(
+        bm25, "query_id long, doc_id long, rank int"
+    )
+    vec_df = spark.createDataFrame(
+        vec, "query_id long, doc_id long, rank int"
+    )
+    for ratio in (0.0, 0.25, 0.5, 0.75, 1.0):
+        fused = rrf_fuse(
+            [bm25_df, vec_df], weights=[ratio, 1 - ratio], k=60, top_k=10
+        ).collect()
+        got = {}
+        for r in fused:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["rrf_score"])
+            )
+        for qid in (1, 2):
+            blist = [(d, 0.0) for q, d, _ in bm25 if q == qid]
+            vlist = [(d, 0.0) for q, d, _ in vec if q == qid]
+            want = rrf_fuse_py([blist, vlist], bm25_ratio=ratio, k=60)
+            rows = sorted(got[qid])
+            assert [d for _, d, _ in rows] == [d for d, _ in want], (
+                qid, ratio,
+            )
+            for (_, _, s), (_, ws) in zip(rows, want):
+                assert math.isclose(s, ws, rel_tol=1e-12)
+
+
+def test_rrf_single_leg_fallback(spark):
+    """Empty vector leg: fused output == weighted bm25 leg (reference
+    falls back to the non-empty list, hybrid_retriever.py:291-298)."""
+    bm25_df = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rank int"
+    )
+    empty = spark.createDataFrame([], "query_id long, doc_id long, rank int")
+    fused = rrf_fuse([bm25_df, empty], weights=[0.5, 0.5], top_k=5).collect()
+    assert [r["doc_id"] for r in sorted(fused, key=lambda r: r["rank"])] == [
+        11, 12,
+    ]
