@@ -1,0 +1,112 @@
+"""Text-analysis scalar functions for training-data pipelines:
+language ID, quality scoring, token counting, fingerprinting.
+
+Everything is a pure JVM column expression (whole-stage codegen, no
+Python), so these run at scan speed over 100 TB — each is a narrow
+map-side pass with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets (n-gram-free heuristic ID). Sets are
+# disjoint where possible so a hit is discriminative.
+STOPWORDS = {
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pas", "pour"],
+    "es": ["el", "los", "las", "es", "una", "para", "con", "por"],
+}
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def lang_hits(col: Column, lang: str) -> Column:
+    """Count of words from ``lang``'s stopword list."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(_words(col), lambda w: F.array_contains(sw, w))
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Best-scoring language code, 'und' when nothing hits."""
+    langs = sorted(STOPWORDS)
+    pairs = F.array(
+        *[
+            F.struct(
+                lang_hits(col, lg).alias("hits"), F.lit(lg).alias("lang")
+            )
+            for lg in langs
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    return F.when(
+        F.length(F.trim(col)) == 0, F.lit(0)
+    ).otherwise(F.size(_words(col)))
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish subword count: runs of letters, digits, or single
+    punctuation — a cheap proxy for tokenizer cost accounting."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    nonspace = F.length(F.regexp_replace(col, r"\s+", ""))
+    punct = F.length(
+        F.regexp_replace(col, r"[A-Za-z0-9\s]+", "")
+    )
+    return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    n = token_count_ws(col)
+    return F.when(n > 0, lang_hits(col, lang) / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0, 1]: length band + low punctuation +
+    healthy stopword presence. A composable example, not a model."""
+    n = token_count_ws(col).cast("double")
+    len_component = F.least(n / F.lit(20.0), F.lit(1.0)) * F.when(
+        n > 2000, F.lit(0.5)
+    ).otherwise(F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(
+        punct_ratio(col) * 2.0, F.lit(1.0)
+    )
+    sw_component = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return (
+        len_component * 0.4 + punct_component * 0.3 + sw_component * 0.3
+    )
+
+
+def fingerprint64(col: Column) -> Column:
+    """Order-insensitive document fingerprint: xxhash64 over the
+    sorted distinct word set — a rolling-hash-style signature that is
+    stable under word reordering and duplication (useful as a cheap
+    near-dup blocking key)."""
+    return F.xxhash64(
+        F.array_join(F.array_sort(F.array_distinct(_words(col))), " ")
+    )
+
+
+def fingerprint_hex(col: Column) -> Column:
+    """Cross-engine variant (md5 hex) of the same normalized-word-set
+    fingerprint, reproducible in DuckDB for oracle checks."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_words(col))), " ")
+    )

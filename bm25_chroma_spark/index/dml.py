@@ -1,0 +1,232 @@
+"""Document-management DML over the sharded index: add / upsert /
+remove / reset, matching the reference lifecycle semantics
+(/root/reference/bm25_chroma/bm25.py:145-258):
+
+* re-added id -> remove-then-add (fresh postings)        [bm25.py:151-152]
+* remove re-tokenizes the stored text to find affected
+  terms and hard-deletes the postings                     [bm25.py:238-249]
+* terms whose lists empty out vanish from the vocabulary  [bm25.py:248-250]
+* doc length zeroed, N decremented, avgdl recomputed      [bm25.py:253-258]
+* removing an unknown id is a no-op                       [bm25.py:229-230]
+
+Physical design: the base build is generation 0; every DML batch
+writes generation k containing ONLY re-encoded shard rows for the
+affected (term, segment) pairs (terms appearing in removed or added
+texts — all other shards are untouched, so DML cost scales with the
+batch's vocabulary, not the corpus). A (term, segment) whose postings
+empty out gets a df=0 tombstone row. Readers overlay generations and
+keep the newest row per (term, segment).
+
+This is hard-delete semantics (IDF reflects removals immediately,
+matching the reference's _compute_idf over the post-delete list), not
+query-time tombstone filtering.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bm25_chroma_spark.config import BM25Config
+from bm25_chroma_spark.index.shards import (
+    SHARD_DDL,
+    _encode_bucket_segment,
+    decode_shards_to_postings,
+)
+from bm25_chroma_spark.operators.index_build import tokenize_docs
+
+
+def _read_stats(base: Path) -> dict:
+    return json.loads((base / "stats.json").read_text())
+
+
+def _write_stats(base: Path, stats: dict) -> None:
+    (base / "stats.json").write_text(json.dumps(stats, indent=2))
+
+
+def apply_dml(
+    spark: SparkSession,
+    index_dir: str,
+    upserts: Optional[DataFrame] = None,
+    delete_docs: Optional[DataFrame] = None,
+) -> dict:
+    """One DML batch against a built index.
+
+    upserts:     (doc_id long, text string) — added; an existing
+                 doc_id is replaced (remove-then-add).
+    delete_docs: (doc_id long, text string) — removed; text is the
+                 stored content (the caller owns the corpus table and
+                 passes it back, mirroring the reference's
+                 chunk_texts re-tokenization). Unknown ids no-op.
+
+    Returns {generation, affected_terms, live_docs, avgdl}.
+    """
+    base = Path(index_dir)
+    stats = _read_stats(base)
+    cfg = BM25Config(**stats["config"])
+    gen = int(stats.get("generation", 0)) + 1
+
+    from bm25_chroma_spark.index.shards import ShardedIndex
+
+    index = ShardedIndex(spark, index_dir)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    upserts = (upserts or empty).select(
+        F.col("doc_id").cast("long"), "text"
+    )
+    delete_docs = (delete_docs or empty).select(
+        F.col("doc_id").cast("long"), "text"
+    )
+
+    # victims = explicit deletes + upserts of existing ids
+    victims = delete_docs.unionByName(upserts).select("doc_id", "text")
+
+    # affected terms: everything in victim or new texts
+    vic_tok = tokenize_docs(victims, "doc_id", "text")
+    new_tok = tokenize_docs(upserts, "doc_id", "text").persist()
+    affected_terms = sorted(
+        r["term"]
+        for r in vic_tok.select(F.explode("terms.term").alias("term"))
+        .unionByName(new_tok.select(F.explode("terms.term").alias("term")))
+        .distinct()
+        .collect()
+    )
+    victim_ids = [r["doc_id"] for r in victims.select("doc_id").collect()]
+
+    if affected_terms:
+        old = decode_shards_to_postings(
+            index.shards_for_terms(affected_terms)
+        ).filter(~F.col("doc_id").isin(victim_ids))
+
+        new_flat = new_tok.select(
+            "doc_id", "dl", F.explode("terms").alias("t")
+        ).select(
+            F.col("t.term").alias("term"),
+            "doc_id",
+            F.col("t.tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+        )
+        merged = old.select("term", "doc_id", "tf", "dl").unionByName(
+            new_flat
+        )
+        keyed = merged.select(
+            "term",
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
+            F.pmod(
+                F.crc32(F.encode(F.col("term"), "utf-8")),
+                F.lit(cfg.num_term_buckets),
+            ).cast("int").alias("bucket"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_factor))
+            .cast("int")
+            .alias("segment"),
+        )
+        block_size = cfg.block_size
+        encoded = keyed.groupBy("bucket", "segment").applyInPandas(
+            lambda pdf: _encode_bucket_segment(pdf, block_size),
+            schema=SHARD_DDL,
+        )
+
+        # tombstones: (term, segment) that existed but emptied out
+        old_keys = (
+            index.shards_for_terms(affected_terms)
+            .select("bucket", "term", "segment")
+            .distinct()
+        )
+        gone = old_keys.join(
+            encoded.select("term", "segment").distinct(),
+            ["term", "segment"],
+            "left_anti",
+        ).select(
+            "bucket",
+            "term",
+            "segment",
+            F.lit(0).cast("long").alias("df"),
+            F.lit(b"").alias("doc_bytes"),
+            F.lit(b"").alias("tf_bytes"),
+            F.lit(b"").alias("dl_bytes"),
+            F.array().cast(
+                "array<struct<first_doc: long, n: int, max_tf: int, "
+                "min_dl: int, doc_off: int, tf_off: int, dl_off: int>>"
+            ).alias("blocks"),
+        )
+        gen_dir = base / "gen" / f"gen_{gen:05d}"
+        encoded.unionByName(gone).write.mode("overwrite").parquet(
+            str(gen_dir / "shards")
+        )
+
+    # doc_stats delta: every victim not re-added with >=1 token goes
+    # to dl=0 (covers plain deletes AND upserts-to-empty-text — the
+    # reference removes first, then bails on empty tokens,
+    # bm25.py:151-156); re-added docs get their fresh dl
+    ds_delta = victims.select("doc_id").distinct().join(
+        new_tok.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.lit(0).alias("dl")).unionByName(
+        new_tok.select("doc_id", "dl")
+    )
+    gen_dir = base / "gen" / f"gen_{gen:05d}"
+    ds_delta.write.mode("overwrite").parquet(str(gen_dir / "doc_stats"))
+    new_tok.unpersist()
+
+    # recompute corpus stats over live docs (cheap narrow agg)
+    live = _live_doc_stats(spark, base, upto_gen=gen)
+    row = live.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    stats["n_docs"] = int(row["n"] or 0)
+    stats["avgdl"] = float(row["avgdl"] or 0.0)
+    stats["generation"] = gen
+    _write_stats(base, stats)
+    return {
+        "generation": gen,
+        "affected_terms": len(affected_terms),
+        "live_docs": stats["n_docs"],
+        "avgdl": stats["avgdl"],
+    }
+
+
+def _gen_dirs(base: Path, kind: str, upto_gen: Optional[int] = None):
+    root = base / "gen"
+    if not root.exists():
+        return []
+    out = []
+    for d in sorted(root.glob("gen_*")):
+        g = int(d.name.split("_")[1])
+        if upto_gen is not None and g > upto_gen:
+            continue
+        if (d / kind).exists():
+            out.append((g, str(d / kind)))
+    return out
+
+
+def _live_doc_stats(
+    spark: SparkSession, base: Path, upto_gen: Optional[int] = None
+) -> DataFrame:
+    """Latest (doc_id, dl) per doc across generations, dl>0 only."""
+    from pyspark.sql import Window
+
+    parts = [
+        spark.read.parquet(str(base / "doc_stats.parquet")).select(
+            "doc_id", "dl", F.lit(0).alias("gen")
+        )
+    ]
+    for g, p in _gen_dirs(base, "doc_stats", upto_gen):
+        parts.append(
+            spark.read.parquet(p).select(
+                "doc_id", "dl", F.lit(g).alias("gen")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("gen"))
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("dl") > 0))
+        .select("doc_id", "dl")
+    )

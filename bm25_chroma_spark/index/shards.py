@@ -233,15 +233,23 @@ class ShardedIndex:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = Path(path)
+        self.refresh()
+
+    def refresh(self) -> "ShardedIndex":
+        """Re-read stats.json (N/avgdl/generation move under DML)."""
         stats = json.loads((self.path / "stats.json").read_text())
         self.n_docs: int = stats["n_docs"]
         self.avgdl: float = stats["avgdl"]
+        self.generation: int = int(stats.get("generation", 0))
         self.config = BM25Config(**stats["config"])
+        return self
 
     def shards_for_terms(self, terms: List[str]) -> DataFrame:
         """Scan only the buckets/groups the query terms hash to —
         directory-level pruning (group dirs + bucket partition) plus
-        parquet row-group pushdown on term."""
+        parquet row-group pushdown on term. DML generations overlay
+        the base build: newest (term, segment) row wins, df=0
+        tombstones drop out."""
         cfg = self.config
         n_groups = _groups(self.path)
         buckets = sorted({bucket_of(t, cfg.num_term_buckets) for t in terms})
@@ -250,9 +258,44 @@ class ShardedIndex:
         df = self.spark.read.option(
             "basePath", str(self.path / "shards")
         ).parquet(*paths)
-        return df.filter(
+        base = df.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        ).select(
+            "bucket", "term", "segment", "df", "doc_bytes", "tf_bytes",
+            "dl_bytes", "blocks", F.lit(0).alias("gen"),
         )
+        gen_root = self.path / "gen"
+        parts = [base]
+        if gen_root.exists():
+            for d in sorted(gen_root.glob("gen_*")):
+                if not (d / "shards").exists():
+                    continue
+                g = int(d.name.split("_")[1])
+                parts.append(
+                    self.spark.read.parquet(str(d / "shards"))
+                    .filter(
+                        F.col("bucket").isin(buckets)
+                        & F.col("term").isin(terms)
+                    )
+                    .select(
+                        "bucket", "term", "segment", "df", "doc_bytes",
+                        "tf_bytes", "dl_bytes", "blocks",
+                        F.lit(g).alias("gen"),
+                    )
+                )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        if len(parts) > 1:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("term", "segment").orderBy(F.desc("gen"))
+            u = (
+                u.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        return u.filter(F.col("df") > 0).drop("gen")
 
     def doc_stats(self) -> DataFrame:
         return self.spark.read.parquet(str(self.path / "doc_stats.parquet"))

@@ -1,0 +1,348 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All exact/near-dup detection is expressed as DataFrame transformations
+whose heavy lifting stays JVM-side (hash/array built-ins); only SimHash
+uses an Arrow-vectorized pandas UDF (bit-twiddling is awkward in SQL).
+
+Scale notes (the 100 TB story):
+* exact dedup      — one groupBy on a 256-bit hash; pure shuffle-bound.
+* MinHash LSH      — per-doc signatures are a narrow map-side pass
+  (md5 is used for cross-engine oracle parity; swap HASH_FN to
+  xxhash64 for ~4x cheaper signatures at scale); candidate generation
+  shuffles (band_hash) keys, so bands with identical signatures
+  co-locate — no pairwise cross join ever materializes.
+* n-gram Jaccard   — exact pair scoring, but ONLY on LSH candidates
+  (or any blocking column), never all-pairs.
+* embedding dedup  — cosine threshold over LSH-bucketed candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+# ------------------------------------------------------------------ #
+# exact                                                               #
+# ------------------------------------------------------------------ #
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (content_hash, dup_count, keep_id): groups of byte-identical
+    texts; keep_id = smallest id (the canonical survivor)."""
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("content_hash"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("id").alias("keep_id"),
+        )
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per identical text (smallest id wins)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(
+        F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------------------ #
+# shingles + MinHash + LSH                                            #
+# ------------------------------------------------------------------ #
+
+def word_shingles(text_col, k: int = 3):
+    """Distinct k-word shingles as array<string> (JVM expression)."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """array<string> of per-hash minima: sig[i] = min over shingles of
+    md5(i || ':' || shingle). md5 is available verbatim in DuckDB, so
+    oracle SQL can reproduce signatures byte-for-byte; at production
+    scale substitute xxhash64(shingle, seed=i)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles_col,
+                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """-> (id_a, id_b) candidate near-dup pairs (id_a < id_b).
+
+    rows -> signatures -> band hashes -> groupBy(band, band_hash) ->
+    pairs within small buckets. The only shuffle is on band hash; a
+    pair appears once even if it collides in several bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(
+            word_shingles(F.col(text_col), k=shingle_k), num_hashes
+        ).alias("sig"),
+    )
+    bands_df = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.sha2(
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                        ),
+                        256,
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = bands_df.alias("l")
+    right = bands_df.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs.
+
+    -> (id_a, id_b, jaccard). ``pairs`` defaults to MinHash-LSH
+    candidates; passing all-pairs explicitly is the small-data oracle
+    path only.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_candidates(
+            df, text_col, id_col, shingle_k=shingle_k
+        )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k=shingle_k).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = joined.select(
+        "id_a", "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ------------------------------------------------------------------ #
+# SimHash                                                             #
+# ------------------------------------------------------------------ #
+
+@pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-vectorized).
+
+    Charikar's scheme: per token a 64-bit hash votes +-1 per bit;
+    the signature's bit i is 1 iff the summed vote is positive. Near-
+    identical texts differ in a few bits (compare via Hamming
+    distance).
+    """
+    import hashlib as _h
+
+    import numpy as np
+
+    def one(text: str) -> int:
+        if not text:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in str(text).lower().split():
+            h = np.uint64(
+                int.from_bytes(
+                    _h.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+            )
+            bits = (
+                (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
+            votes += 2 * bits - 1
+        sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    return texts.map(one)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """-> (id_a, id_b, hamming): pairs within ``max_hamming`` bits.
+
+    Blocking: split the 64-bit signature into ``n_tables`` 16-bit
+    chunks; by pigeonhole any pair within max_hamming <= n_tables - 1
+    shares at least one exact chunk, so a chunk-equality join finds
+    all of them without an all-pairs scan.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        simhash64_udf(F.col(text_col)).alias("sig"),
+    )
+    width = 64 // n_tables
+    chunked = sigs.select(
+        "id", "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "chunk"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    )
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------------ #
+# embedding cosine near-dup                                           #
+# ------------------------------------------------------------------ #
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    use_lsh=True blocks by random-hyperplane bucket (the scale path);
+    False scores all pairs (oracle path for small data).
+    """
+    from bm25_chroma_spark.operators.knn import (
+        _dot,
+        _norm,
+        _signature,
+        hyperplanes,
+    )
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if use_lsh:
+        dim = len(e.select("vec").first()["vec"])
+        cand = None
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+            sigged = e.select(
+                "id", "vec", _signature(F.col("vec"), planes).alias("sig")
+            )
+            l, r = sigged.alias("l"), sigged.alias("r")
+            p = l.join(
+                r,
+                (F.col("l.sig") == F.col("r.sig"))
+                & (F.col("l.id") < F.col("r.id")),
+            ).select(
+                F.col("l.id").alias("id_a"),
+                F.col("l.vec").alias("vec_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("r.vec").alias("vec_b"),
+            )
+            cand = p if cand is None else cand.unionByName(p)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    else:
+        l = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        r = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        cand = l.join(r, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    )
+    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,490 @@
+"""SparkHybridRetriever — the reference's HybridRetriever API surface
+(/root/reference/bm25_chroma/hybrid_retriever.py) re-expressed over
+the Spark engine.
+
+API parity (reference tests/test_examples.py:439-489 contract):
+  add_documents_batch, remove_document, remove_documents_batch,
+  reset_collection, query, hybrid_search, search_bm25, search_vector,
+  get_system_stats
+
+Semantic parity notes:
+* ``query()`` fuses at a hardcoded ratio 0.5 — extra kwargs like
+  ``bm25_ratio`` are accepted but IGNORED, faithfully reproducing the
+  reference facade quirk (hybrid_retriever.py:379,430), while
+  ``hybrid_search`` honors its ratio (hybrid_retriever.py:292).
+* ``search_bm25(solr_norm=True)`` raises AttributeError in the
+  reference (calls a method that does not exist,
+  hybrid_retriever.py:247); we raise NotImplementedError with the
+  explanation instead of replicating the broken call.
+* The vector leg replaces ChromaDB/HNSW with a pluggable
+  ``embedding_function`` + exact KNN over a vectors table. The
+  default embedder is a DETERMINISTIC STUB (sha256-seeded unit
+  vector) standing in for sentence-transformers, which is not
+  available in this environment; swap in a real encoder via the
+  constructor for production.
+
+State layout under ``state_path``:
+  corpus/gen_K.parquet   (doc_uid, text, deleted) — newest gen wins
+  vectors/gen_K.parquet  (doc_uid, embedding)
+  index/                 sharded BM25 index (base + DML generations)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bm25_chroma_spark.config import BM25Config
+from bm25_chroma_spark.index.dml import apply_dml
+from bm25_chroma_spark.index.shards import ShardedIndex, build_sharded_index
+from bm25_chroma_spark.index.wand import search_sharded
+from bm25_chroma_spark.operators.fusion import rrf_fuse_py
+
+
+def deterministic_stub_embedder(texts: Sequence[str], dim: int = 64
+                                ) -> List[List[float]]:
+    """STUB embedding function: sha256-seeded unit vectors.
+
+    Deterministic (same text -> same vector), no external model. Not
+    semantically meaningful; exists so the vector leg's plumbing is
+    real and testable in this environment.
+    """
+    out = []
+    for t in texts:
+        seed = int.from_bytes(
+            hashlib.sha256(t.encode("utf-8")).digest()[:4], "big"
+        )
+        v = np.random.RandomState(seed).randn(dim)
+        out.append((v / np.linalg.norm(v)).tolist())
+    return out
+
+
+def _doc_id_expr(uid_col):
+    return F.xxhash64(uid_col)
+
+
+class SparkHybridRetriever:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        embedding_function: Optional[Callable] = None,
+        config: Optional[BM25Config] = None,
+        bucket_groups: int = 1,
+    ):
+        self.spark = spark
+        self.state = Path(state_path)
+        self.embed = embedding_function or deterministic_stub_embedder
+        self.config = config or BM25Config(
+            num_term_buckets=8, salt_factor=4
+        )
+        self.bucket_groups = bucket_groups
+        (self.state / "corpus").mkdir(parents=True, exist_ok=True)
+        (self.state / "vectors").mkdir(parents=True, exist_ok=True)
+        self._index: Optional[ShardedIndex] = None
+        if (self.state / "index" / "stats.json").exists():
+            self._index = ShardedIndex(spark, str(self.state / "index"))
+
+    # ------------------------------------------------------------ #
+    # corpus state                                                  #
+    # ------------------------------------------------------------ #
+
+    def _corpus_gens(self) -> List[Path]:
+        return sorted((self.state / "corpus").glob("gen_*.parquet"))
+
+    def corpus_df(self) -> DataFrame:
+        """Live corpus: newest generation per doc_uid, tombstones out."""
+        gens = self._corpus_gens()
+        if not gens:
+            return self.spark.createDataFrame(
+                [], "doc_uid string, text string"
+            )
+        parts = [
+            self.spark.read.parquet(str(p)).withColumn(
+                "gen", F.lit(int(p.stem.split("_")[1]))
+            )
+            for p in gens
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy("doc_uid").orderBy(F.desc("gen"))
+        return (
+            u.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (~F.col("deleted")))
+            .select("doc_uid", "text")
+        )
+
+    def _next_gen(self, sub: str) -> Path:
+        gens = sorted((self.state / sub).glob("gen_*.parquet"))
+        nxt = (
+            int(gens[-1].stem.split("_")[1]) + 1 if gens else 1
+        )
+        return self.state / sub / f"gen_{nxt:05d}.parquet"
+
+    def vectors_df(self) -> DataFrame:
+        gens = sorted((self.state / "vectors").glob("gen_*.parquet"))
+        if not gens:
+            return self.spark.createDataFrame(
+                [], "doc_uid string, embedding array<double>"
+            )
+        parts = [
+            self.spark.read.parquet(str(p)).withColumn(
+                "gen", F.lit(int(p.stem.split("_")[1]))
+            )
+            for p in gens
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy("doc_uid").orderBy(F.desc("gen"))
+        live = (
+            u.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_uid", "embedding")
+        )
+        # vectors of deleted docs drop out via the corpus join
+        return live.join(
+            self.corpus_df().select("doc_uid"), "doc_uid", "inner"
+        )
+
+    # ------------------------------------------------------------ #
+    # ingest                                                        #
+    # ------------------------------------------------------------ #
+
+    def add_documents_batch(
+        self,
+        documents: List[str],
+        doc_ids: Optional[List[str]] = None,
+        mode: str = "unified",
+        show_progress: bool = False,
+        **_kwargs,
+    ) -> Dict:
+        """Batch add/upsert. Auto ids are doc_{i:06d} like the
+        reference (hybrid_retriever.py:104-106); mode is accepted for
+        API parity but irrelevant (Spark schedules both legs)."""
+        if doc_ids is None:
+            doc_ids = [f"doc_{i:06d}" for i in range(len(documents))]
+        if len(documents) != len(doc_ids):
+            raise ValueError("Documents and doc_ids must have same length")
+        t0 = time.time()
+
+        # old versions of re-added ids: their stored text defines the
+        # affected terms of the implicit remove (reference re-tokenizes
+        # chunk_texts on removal, bm25.py:238-249)
+        old_versions = None
+        if self._index is not None:
+            old_versions = (
+                self.corpus_df()
+                .filter(F.col("doc_uid").isin(doc_ids))
+                .select(
+                    _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+                )
+            ).persist()
+            old_versions.count()  # pin before the new generation lands
+
+        batch = self.spark.createDataFrame(
+            list(zip(doc_ids, documents)), "doc_uid string, text string"
+        ).withColumn("deleted", F.lit(False))
+        batch.write.mode("overwrite").parquet(str(self._next_gen("corpus")))
+
+        vecs = self.embed(documents)
+        self.spark.createDataFrame(
+            list(zip(doc_ids, [[float(x) for x in v] for v in vecs])),
+            "doc_uid string, embedding array<double>",
+        ).write.mode("overwrite").parquet(str(self._next_gen("vectors")))
+
+        docs_long = batch.select(
+            _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+        )
+        idx_dir = self.state / "index"
+        if self._index is None:
+            build_sharded_index(
+                docs_long,
+                str(idx_dir),
+                config=self.config,
+                bucket_groups=self.bucket_groups,
+            )
+            self._index = ShardedIndex(self.spark, str(idx_dir))
+        else:
+            apply_dml(
+                self.spark,
+                str(idx_dir),
+                upserts=docs_long,
+                delete_docs=old_versions,
+            )
+            self._index.refresh()
+        if old_versions is not None:
+            old_versions.unpersist()
+
+        total = time.time() - t0
+        return {
+            "total_documents": len(documents),
+            "total_time_seconds": total,
+            "docs_per_second": len(documents) / total if total else 0.0,
+            "mode": mode,
+        }
+
+    # ------------------------------------------------------------ #
+    # removal / reset                                               #
+    # ------------------------------------------------------------ #
+
+    def remove_document(self, doc_id: str) -> None:
+        self.remove_documents_batch([doc_id])
+
+    def remove_documents_batch(self, doc_ids: List[str]) -> None:
+        victims = self.corpus_df().filter(F.col("doc_uid").isin(doc_ids))
+        vrows = victims.collect()  # DML batches are small by contract
+        if not vrows:
+            return  # unknown ids no-op (reference bm25.py:229-230)
+        self.spark.createDataFrame(
+            [(r["doc_uid"], r["text"], True) for r in vrows],
+            "doc_uid string, text string, deleted boolean",
+        ).write.mode("overwrite").parquet(str(self._next_gen("corpus")))
+        delete_df = self.spark.createDataFrame(
+            [(r["doc_uid"], r["text"]) for r in vrows],
+            "doc_uid string, text string",
+        ).select(
+            _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+        )
+        apply_dml(
+            self.spark, str(self.state / "index"), delete_docs=delete_df
+        )
+        self._index.refresh()
+
+    def reset_collection(self) -> None:
+        for sub in ("corpus", "vectors", "index"):
+            shutil.rmtree(self.state / sub, ignore_errors=True)
+        (self.state / "corpus").mkdir(parents=True, exist_ok=True)
+        (self.state / "vectors").mkdir(parents=True, exist_ok=True)
+        self._index = None
+
+    # ------------------------------------------------------------ #
+    # search                                                        #
+    # ------------------------------------------------------------ #
+
+    def _uid_map(self) -> DataFrame:
+        return self.corpus_df().select(
+            "doc_uid", _doc_id_expr(F.col("doc_uid")).alias("doc_id")
+        )
+
+    def search_bm25(
+        self, query: str, top_k: int = 50, solr_norm: bool = False
+    ) -> List[Tuple[str, float]]:
+        if solr_norm:
+            raise NotImplementedError(
+                "reference search_bm25(solr_norm=True) calls a method "
+                "that does not exist (hybrid_retriever.py:247); the "
+                "default path already applies the Solr norm"
+            )
+        if self._index is None:
+            return []
+        q = self.spark.createDataFrame(
+            [(0, query)], "query_id long, query_text string"
+        )
+        res = search_sharded(self._index, q, top_k=top_k)
+        rows = (
+            res.join(self._uid_map(), "doc_id")
+            .orderBy("rank")
+            .select("doc_uid", "score")
+            .collect()
+        )
+        return [(r["doc_uid"], r["score"]) for r in rows]
+
+    def search_vector(self, query: str, top_k: int = 50
+                      ) -> List[Tuple[str, float]]:
+        """Exact KNN over the vectors table; sim = 1/(1+dist)
+        (reference hybrid_retriever.py:266)."""
+        vecs = self.vectors_df()
+        if vecs.isEmpty():
+            return []
+        from bm25_chroma_spark.operators.knn import knn_bruteforce
+
+        qv = self.embed([query])[0]
+        res = knn_bruteforce(
+            vecs.withColumn(
+                "vec_id", _doc_id_expr(F.col("doc_uid"))
+            ),
+            [qv],
+            k=top_k,
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+        uid = self._uid_map().withColumnRenamed("doc_id", "vec_id")
+        rows = (
+            res.join(uid, "vec_id").orderBy("rank")
+            .select("doc_uid", "sim")
+            .collect()
+        )
+        return [(r["doc_uid"], r["sim"]) for r in rows]
+
+    def hybrid_search(
+        self,
+        query: str,
+        top_k: int = 10,
+        bm25_ratio: float = 0.5,
+        use_rrf: bool = True,
+        rrf_k: int = 60,
+    ) -> List[Tuple[str, float, Dict]]:
+        """Both legs at top-50 -> RRF (ratio honored here) -> enriched
+        triples (reference hybrid_retriever.py:275-310)."""
+        bm25_results = self.search_bm25(query, top_k=50)
+        vector_results = self.search_vector(query, top_k=50)
+        if not bm25_results and not vector_results:
+            return []
+        if use_rrf and bm25_results and vector_results:
+            fused = rrf_fuse_py(
+                [bm25_results, vector_results],
+                bm25_ratio=bm25_ratio,
+                k=rrf_k,
+                top_k=top_k,
+            )
+        elif bm25_results:
+            fused = bm25_results[:top_k]
+        else:
+            fused = vector_results[:top_k]
+        texts = {
+            r["doc_uid"]: r["text"]
+            for r in self.corpus_df()
+            .filter(F.col("doc_uid").isin([d for d, _ in fused]))
+            .collect()
+        }
+        return [
+            (
+                uid,
+                score,
+                {
+                    "chunk_id": uid,
+                    "text": texts.get(uid, ""),
+                    "source": "hybrid_ensemble",
+                },
+            )
+            for uid, score in fused
+        ]
+
+    def query(self, query_texts, n_results: int, include=None, **kwargs
+              ) -> Dict:
+        """ChromaDB-compatible facade (reference
+        hybrid_retriever.py:379-428). Ratio pinned to 0.5 regardless
+        of kwargs — the reference accepts-and-ignores them."""
+        if not isinstance(query_texts, list):
+            query_texts = [query_texts]
+        include = include or ["documents", "metadatas", "distances"]
+
+        all_ids, all_docs, all_metas, all_dists, all_embeds = (
+            [], [], [], [], [],
+        )
+        vec_map = {
+            r["doc_uid"]: r["embedding"]
+            for r in self.vectors_df().collect()
+        }
+        for q in query_texts:
+            bm25_results = self.search_bm25(q, top_k=n_results * 2)
+            vector_results = self.search_vector(q, top_k=n_results * 2)
+            if bm25_results and vector_results:
+                fused = rrf_fuse_py(
+                    [bm25_results, vector_results],
+                    bm25_ratio=0.5,
+                    k=60,
+                    top_k=n_results,
+                )
+            elif bm25_results:
+                fused = bm25_results[:n_results]
+            else:
+                fused = vector_results[:n_results]
+            uids = [u for u, _ in fused]
+            texts = {
+                r["doc_uid"]: r["text"]
+                for r in self.corpus_df()
+                .filter(F.col("doc_uid").isin(uids))
+                .collect()
+            }
+            all_ids.append(uids)
+            all_docs.append([texts.get(u, "") for u in uids])
+            all_metas.append([{"document_id": u} for u in uids])
+            all_dists.append([1.0 - s for _, s in fused])
+            all_embeds.append([vec_map.get(u) for u in uids])
+
+        result = {"ids": all_ids}
+        if "documents" in include:
+            result["documents"] = all_docs
+        if "metadatas" in include:
+            result["metadatas"] = all_metas
+        if "distances" in include:
+            result["distances"] = all_dists
+        if "embeddings" in include:
+            result["embeddings"] = all_embeds
+        return result
+
+    # ------------------------------------------------------------ #
+    # stats                                                         #
+    # ------------------------------------------------------------ #
+
+    def get_system_stats(self) -> Dict:
+        corpus_n = self.corpus_df().count()
+        if self._index is None:
+            return {
+                "chunks": 0,
+                "vocabulary_size": 0,
+                "total_postings": 0,
+                "avg_postings_per_term": 0,
+                "avg_chunk_length": 0.0,
+                "vector_chunks": corpus_n,
+                "cached_chunks": corpus_n,
+                "sync_status": "synced" if corpus_n == 0 else "needs_sync",
+            }
+        self._index.refresh()
+        # vocabulary/postings over live shards (all terms)
+        shard_stats = self._all_live_shards().agg(
+            F.countDistinct("term").alias("vocab"),
+            F.sum("df").alias("postings"),
+        ).collect()[0]
+        vocab = int(shard_stats["vocab"] or 0)
+        postings = int(shard_stats["postings"] or 0)
+        return {
+            "chunks": self._index.n_docs,
+            "vocabulary_size": vocab,
+            "total_postings": postings,
+            "avg_postings_per_term": postings / vocab if vocab else 0,
+            "avg_chunk_length": self._index.avgdl,
+            "vector_chunks": self.vectors_df().count(),
+            "cached_chunks": corpus_n,
+            "sync_status": (
+                "synced" if self._index.n_docs == corpus_n else "needs_sync"
+            ),
+        }
+
+    def _all_live_shards(self) -> DataFrame:
+        """All live (term, segment) shard rows across generations."""
+        base = self._index.path
+        parts = [
+            self.spark.read.option(
+                "basePath", str(base / "shards")
+            ).parquet(str(base / "shards"))
+            .select("term", "segment", "df", F.lit(0).alias("gen"))
+        ]
+        gen_root = base / "gen"
+        if gen_root.exists():
+            for d in sorted(gen_root.glob("gen_*")):
+                if (d / "shards").exists():
+                    parts.append(
+                        self.spark.read.parquet(str(d / "shards")).select(
+                            "term", "segment", "df",
+                            F.lit(int(d.name.split("_")[1])).alias("gen"),
+                        )
+                    )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy("term", "segment").orderBy(F.desc("gen"))
+        return (
+            u.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("df") > 0))
+        )

@@ -1,0 +1,186 @@
+"""Dedup family + text-analysis functions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25_chroma_spark.functions.text_analysis import (
+    fingerprint_hex,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from bm25_chroma_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (4, "completely different text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (6, "spark engines process completely different text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, corpus):
+    groups = exact_dup_groups(corpus).collect()
+    dups = [g for g in groups if g["dup_count"] > 1]
+    assert len(dups) == 1 and dups[0]["keep_id"] == 1
+    kept = dedup_exact(corpus).select("doc_id").collect()
+    ids = {r["doc_id"] for r in kept}
+    assert 1 in ids and 2 not in ids and len(ids) == 5
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    got = df.select(word_shingles(F.col("text"), 2).alias("s")).collect()
+    assert set(got[0]["s"]) == {"a b", "b c", "c d"}
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            corpus, num_hashes=32, bands=16, shingle_k=2
+        ).collect()
+    }
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (1, 3) in pairs or (1, 5) in pairs  # near dups likely
+    assert (1, 4) not in pairs  # unrelated docs don't
+
+
+def test_ngram_jaccard_exact_values(spark, corpus):
+    all_pairs = spark.createDataFrame(
+        [(1, 2), (1, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus, pairs=all_pairs, shingle_k=2
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 4)] == 0.0
+
+
+def test_simhash_near_dups(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(corpus, max_hamming=16).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text -> identical sig
+    assert (1, 3) in pairs  # one-word edit -> few bits
+    assert (1, 4) not in pairs or pairs[(1, 4)] > 12
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            emb, threshold=0.95, use_lsh=False
+        ).collect()
+    }
+    assert exact == {(1, 2)}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            emb, threshold=0.95, use_lsh=True, n_planes=4, n_tables=6
+        ).collect()
+    }
+    assert (1, 2) in lsh
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat is on the mat and it is happy"),
+        (2, "der Hund ist nicht mit der Katze"),
+        (3, "le chat est sur la table et il est content"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["lang"]
+        for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "don't stop—now 42")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "id",
+            token_count_ws(F.col("text")).alias("ws"),
+            token_count_bpe_ish(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert got[1] == (2, 2)
+    assert got[2][0] == 0
+    # don ' t stop — now 42 -> 7 BPE-ish pieces
+    assert got[3] == (3, 7)
+
+
+def test_quality_and_punct(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is a fine day for all of us"),
+            (2, "!!! ??? ### $$$ %%%"),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: (r["q"], r["p"])
+        for r in df.select(
+            "id",
+            quality_score(F.col("text")).alias("q"),
+            punct_ratio(F.col("text")).alias("p"),
+        ).collect()
+    }
+    assert rows[1][0] > rows[2][0]
+    assert rows[2][1] == 1.0
+    assert 0.0 <= rows[1][0] <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta beta"),
+         (3, "alpha beta delta")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", fingerprint_hex(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1] != got[3]

@@ -1,0 +1,238 @@
+"""Reference invariant suite ported to the Spark facade
+(/root/reference/tests/test_examples.py), plus a randomized DML
+rank-identity check against the reference engine itself."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bm25_chroma_spark.plans.retriever import SparkHybridRetriever
+
+
+@pytest.fixture()
+def retriever(spark, tmp_path):
+    return SparkHybridRetriever(spark, str(tmp_path / "state"))
+
+
+def _df_of(retriever, term: str) -> int:
+    idx = retriever._index
+    rows = idx.term_dfs([term]).collect()
+    return int(rows[0]["df"]) if rows else 0
+
+
+def _vocab(retriever) -> set:
+    return {
+        r["term"]
+        for r in retriever._all_live_shards().select("term").distinct().collect()
+    }
+
+
+def test_df_consistency_across_delete_and_readd(retriever):
+    """Reference test_examples.py:125-217: df('common') 10 -> 9 -> 10;
+    orphan term purged from the vocabulary on delete."""
+    docs = [f"document {i} contains word{i} and common" for i in range(10)]
+    ids = [f"doc_{i}" for i in range(10)]
+    retriever.add_documents_batch(docs, ids)
+
+    assert _df_of(retriever, "common") == 10
+    assert "word0" in _vocab(retriever)
+
+    retriever.remove_document("doc_0")
+    assert _df_of(retriever, "common") == 9
+    assert "word0" not in _vocab(retriever)  # orphan purged
+    assert retriever._index.n_docs == 9
+
+    retriever.add_documents_batch([docs[0]], ["doc_0"])
+    assert _df_of(retriever, "common") == 10
+    assert "word0" in _vocab(retriever)
+    assert retriever._index.n_docs == 10
+
+
+def test_remove_unknown_is_noop(retriever):
+    docs = ["alpha beta", "beta gamma"]
+    retriever.add_documents_batch(docs, ["a", "b"])
+    n0 = retriever._index.n_docs
+    retriever.remove_document("nonexistent")
+    assert retriever._index.n_docs == n0
+
+
+def test_upsert_replaces(retriever):
+    retriever.add_documents_batch(["old content here"], ["x"])
+    retriever.add_documents_batch(["completely new words"], ["x"])
+    assert retriever._index.n_docs == 1
+    assert _df_of(retriever, "old") == 0
+    assert _df_of(retriever, "completely") == 1
+    res = retriever.search_bm25("new words", top_k=5)
+    assert res and res[0][0] == "x"
+
+
+def test_batch_operations(retriever):
+    """Reference test_examples.py:257-312: batch add 5 / remove 3 /
+    search survivors."""
+    docs = [
+        "machine learning algorithms",
+        "deep neural networks",
+        "natural language processing",
+        "computer vision systems",
+        "reinforcement learning agents",
+    ]
+    ids = [f"d{i}" for i in range(5)]
+    retriever.add_documents_batch(docs, ids)
+    assert retriever._index.n_docs == 5
+
+    retriever.remove_documents_batch(["d0", "d2", "d4"])
+    assert retriever._index.n_docs == 2
+
+    res = retriever.search_bm25("neural networks", top_k=5)
+    assert res and res[0][0] == "d1"
+    gone = retriever.search_bm25("reinforcement agents", top_k=5)
+    assert all(uid not in ("d0", "d2", "d4") for uid, _ in gone)
+
+
+def test_ranking_sanity(retriever):
+    """Reference test_examples.py:23-48: the ML doc ranks first."""
+    retriever.add_documents_batch(
+        [
+            "machine learning is a subset of artificial intelligence",
+            "the weather today is sunny and warm",
+        ],
+        ["ml", "weather"],
+    )
+    res = retriever.search_bm25("machine learning", top_k=2)
+    assert res[0][0] == "ml"
+
+
+def test_chroma_interface(retriever):
+    """Reference test_examples.py:314-367: include subsets, str vs
+    list query_texts, distances = 1 - score."""
+    retriever.add_documents_batch(
+        ["spark engine shuffles data", "pandas frames in memory"],
+        ["s", "p"],
+    )
+    r1 = retriever.query("spark data", n_results=2)
+    assert set(r1.keys()) == {"ids", "documents", "metadatas", "distances"}
+    assert isinstance(r1["ids"][0], list)
+
+    r2 = retriever.query(["spark data", "pandas memory"], n_results=2,
+                         include=["documents"])
+    assert set(r2.keys()) == {"ids", "documents"}
+    assert len(r2["ids"]) == 2
+
+    r3 = retriever.query("spark data", n_results=2,
+                         include=["distances", "embeddings"])
+    assert "embeddings" in r3 and "documents" not in r3
+    for d in r3["distances"][0]:
+        assert d <= 1.0
+
+    # bm25_ratio accepted but ignored (reference facade quirk)
+    r4 = retriever.query("spark data", n_results=2, bm25_ratio=0.9)
+    assert r4["ids"] == r1["ids"]
+
+
+def test_hybrid_search_ratio_honored(retriever):
+    retriever.add_documents_batch(
+        ["alpha beta gamma", "delta epsilon zeta", "alpha delta"],
+        ["1", "2", "3"],
+    )
+    pure_bm25 = retriever.hybrid_search("alpha", top_k=3, bm25_ratio=1.0)
+    assert pure_bm25
+    bm25_only = retriever.search_bm25("alpha", top_k=3)
+    assert [u for u, _, _ in pure_bm25][: len(bm25_only)] == [
+        u for u, _ in bm25_only
+    ][: len(pure_bm25)]
+    for _, _, meta in pure_bm25:
+        assert meta["source"] == "hybrid_ensemble"
+        assert "text" in meta
+
+
+def test_reset_collection(retriever):
+    retriever.add_documents_batch(["some text here"], ["a"])
+    retriever.reset_collection()
+    stats = retriever.get_system_stats()
+    assert stats["chunks"] == 0 and stats["vocabulary_size"] == 0
+    # usable after reset (reference test_examples.py:371-437)
+    retriever.add_documents_batch(["fresh start document"], ["b"])
+    assert retriever.search_bm25("fresh start", top_k=1)[0][0] == "b"
+
+
+def test_api_surface(retriever):
+    """Reference test_examples.py:439-489 contract."""
+    for m in [
+        "add_documents_batch", "remove_document", "remove_documents_batch",
+        "reset_collection", "query", "hybrid_search", "search_bm25",
+        "search_vector", "get_system_stats",
+    ]:
+        assert callable(getattr(retriever, m)), m
+
+
+def test_solr_norm_path_not_replicated(retriever):
+    retriever.add_documents_batch(["doc"], ["a"])
+    with pytest.raises(NotImplementedError):
+        retriever.search_bm25("doc", solr_norm=True)
+
+
+def test_rank_identity_after_dml_vs_reference(
+    spark, tmp_path, reference_bm25_cls
+):
+    """Randomized add/remove/upsert sequence applied to BOTH engines;
+    search results must stay rank-identical throughout."""
+    import random
+
+    rng = random.Random(99)
+    ref = reference_bm25_cls()
+    ret = SparkHybridRetriever(spark, str(tmp_path / "dml_state"))
+
+    vocab = ["spark", "index", "merge", "shard", "query", "token",
+             "batch", "score", "vector", "stream"]
+
+    def mktext(n):
+        return " ".join(rng.choices(vocab, k=n))
+
+    live = {}
+    # initial batch
+    docs = {f"u{i}": mktext(rng.randint(3, 12)) for i in range(12)}
+    ref.add_chunks_batch(list(map(tuple, ((k, v) for k, v in docs.items()))))
+    ret.add_documents_batch(list(docs.values()), list(docs.keys()))
+    live.update(docs)
+
+    for step in range(4):
+        op = rng.choice(["add", "remove", "upsert"])
+        if op == "add":
+            new = {f"n{step}_{i}": mktext(rng.randint(3, 12))
+                   for i in range(3)}
+            ref.add_chunks_batch([(k, v) for k, v in new.items()])
+            ret.add_documents_batch(list(new.values()), list(new.keys()))
+            live.update(new)
+        elif op == "remove" and live:
+            victims = rng.sample(sorted(live), min(2, len(live)))
+            for v in victims:
+                ref.remove_chunk(v)
+                live.pop(v)
+            ret.remove_documents_batch(victims)
+        else:
+            if not live:
+                continue
+            k = rng.choice(sorted(live))
+            txt = mktext(rng.randint(3, 12))
+            ref.add_chunk(k, txt)
+            ret.add_documents_batch([txt], [k])
+            live[k] = txt
+
+        for q in ("spark index", "vector stream token", "merge"):
+            want = ref.search(q, top_k=10)
+            got = ret.search_bm25(q, top_k=10)
+            assert len(want) == len(got), (step, q)
+            # compare as score-sorted tie groups
+            def groups(lst):
+                out = []
+                for d, s in lst:
+                    if out and math.isclose(out[-1][0], s, rel_tol=1e-9):
+                        out[-1][1].add(d)
+                    else:
+                        out.append((s, {d}))
+                return out
+            for (ws, wd), (gs, gd) in zip(groups(want), groups(got)):
+                assert math.isclose(ws, gs, rel_tol=1e-9), (step, q)
+                assert wd == gd, (step, q, want, got)
