@@ -79,21 +79,23 @@ def word_shingles(text_col, k: int = 3):
     )
 
 
+def _min_hash_for(shingles_col, i: int):
+    # NB: the lambda must take exactly one parameter — PySpark treats
+    # a two-parameter lambda as (element, array_index) and would bind
+    # the index over a default-arg closure
+    prefix = F.lit(f"{i}:")
+    return F.array_min(
+        F.transform(shingles_col, lambda s: F.md5(F.concat(prefix, s)))
+    )
+
+
 def minhash_signature(shingles_col, num_hashes: int = 32):
     """array<string> of per-hash minima: sig[i] = min over shingles of
     md5(i || ':' || shingle). md5 is available verbatim in DuckDB, so
     oracle SQL can reproduce signatures byte-for-byte; at production
     scale substitute xxhash64(shingle, seed=i)."""
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles_col,
-                    lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+        *[_min_hash_for(shingles_col, i) for i in range(num_hashes)]
     )
 
 

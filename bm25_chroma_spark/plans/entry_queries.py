@@ -242,8 +242,389 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {TOP_K}
 _ORACLES["bm25_topk"] = _bm25_oracle()
 
 
+# ----------------------------------------------------------------- #
+# training-data pipeline operators                                   #
+# ----------------------------------------------------------------- #
+
+MINHASH_K = 8
+SHINGLE_K = 3
+JACCARD_T = 0.8
+KNN_QUERY_IDS = [3, 77]  # query vectors = these embeddings rows
+KNN_K = 10
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bm25_chroma_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_load_docs(spark, sf_dir))
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bm25_chroma_spark.operators.dedup import (
+        minhash_signature,
+        word_shingles,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            minhash_signature(
+                word_shingles(F.col("text"), k=SHINGLE_K), MINHASH_K
+            )
+        ).alias("h", "sig"),
+    ).select("doc_id", F.col("h").cast("int").alias("h"), "sig")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bm25_chroma_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load_docs(spark, sf_dir)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    all_pairs = (
+        ids.withColumnRenamed("id", "id_a")
+        .crossJoin(ids.withColumnRenamed("id", "id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    out = ngram_jaccard_pairs(
+        docs, pairs=all_pairs, shingle_k=SHINGLE_K, threshold=JACCARD_T
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard")
+    )
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding candidates (rows-only driver check; the
+    jaccard superset property is pinned by tests/test_dedup_text.py)."""
+    from bm25_chroma_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _load_docs(spark, sf_dir), num_hashes=32, bands=16,
+        shingle_k=SHINGLE_K,
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (rows-only: blake2b has no SQL equivalent)."""
+    from bm25_chroma_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_load_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bm25_chroma_spark.functions.text_analysis import lang_id
+
+    return _load_docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bm25_chroma_spark.functions import text_analysis as ta
+
+    return _load_docs(spark, sf_dir).select(
+        "doc_id",
+        ta.token_count_ws(F.col("text")).cast("int").alias("n_ws"),
+        ta.token_count_bpe_ish(F.col("text")).cast("int").alias("n_bpe"),
+        F.round(ta.punct_ratio(F.col("text")), ROUND).alias("punct"),
+        F.round(ta.quality_score(F.col("text")), ROUND).alias("quality"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bm25_chroma_spark.functions.text_analysis import fingerprint_hex
+
+    return _load_docs(spark, sf_dir).select(
+        "doc_id", fingerprint_hex(F.col("text")).alias("fp")
+    )
+
+
+def _knn_query_vecs(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).collect()
+    }
+    return [rows[i] for i in KNN_QUERY_IDS]
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bm25_chroma_spark.operators.knn import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = knn_bruteforce(
+        emb, _knn_query_vecs(spark, sf_dir), k=KNN_K, score_round=ROUND
+    )
+    return res.select(
+        "query_id",
+        "vec_id",
+        # +0.0 canonicalizes IEEE negative zero (self-match distance)
+        (F.col("dist") + F.lit(0.0)).alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bm25_chroma_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dups(emb, threshold=0.5, use_lsh=False)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", ROUND).alias("cosine")
+    )
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full hybrid: BM25 leg + exact-KNN leg fused with RRF (ratio
+    0.5, k=60, candidate widening x2 like the reference facade)."""
+    from bm25_chroma_spark.operators.fusion import rrf_fuse
+    from bm25_chroma_spark.operators.knn import knn_bruteforce
+
+    n_results = 10
+    idx = _index(spark, sf_dir)
+    bm25 = bm25_score_queries(
+        _queries_df(spark).filter(F.col("query_id").isin([1, 2])),
+        idx,
+        top_k=n_results * 2,
+        score_round=ROUND,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    knn = knn_bruteforce(
+        emb, _knn_query_vecs(spark, sf_dir), k=n_results * 2,
+        score_round=ROUND,
+    ).withColumn("query_id", F.col("query_id") + 1)  # align ids 1,2
+    fused = rrf_fuse(
+        [
+            bm25.select("query_id", "doc_id", "rank"),
+            knn.select(
+                "query_id", F.col("vec_id").alias("doc_id"), "rank"
+            ),
+        ],
+        weights=[0.5, 0.5],
+        k=60,
+        top_k=n_results,
+        score_round=9,
+    )
+    return fused.select(
+        "query_id", "doc_id", "rrf_score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ----------------------------------------------------------------- #
+# oracles for the pipeline operators                                 #
+# ----------------------------------------------------------------- #
+
+_ORACLES["dedup_exact"] = """
+SELECT sha256(text) AS content_hash, count(*)::BIGINT AS dup_count,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY sha256(text)
+"""
+
+_SQL_SHINGLES = rf"""
+w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+      FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, greatest(len(words) - {SHINGLE_K - 1}, 1) + 1),
+                i -> array_to_string(words[i:i + {SHINGLE_K - 1}], ' ')
+              )) AS shingles
+       FROM w)
+"""
+
+_ORACLES["minhash_sigs"] = f"""
+WITH {_SQL_SHINGLES}
+SELECT doc_id, h::INT AS h,
+       min(md5(concat(h, ':', s))) AS sig
+FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+CROSS JOIN range(0, {MINHASH_K}) AS t(h)
+GROUP BY doc_id, h
+"""
+
+_ORACLES["jaccard_pairs"] = f"""
+WITH {_SQL_SHINGLES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(a.shingles || b.shingles)), {ROUND})
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      / len(list_distinct(a.shingles || b.shingles)) >= {JACCARD_T}
+"""
+
+_SW = {
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pas", "pour"],
+    "es": ["el", "los", "las", "es", "una", "para", "con", "por"],
+}
+
+
+def _sql_lang_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _SW[lang])
+    return (
+        f"len(list_filter(words, x -> list_contains([{lst}], x)))"
+    )
+
+
+_ORACLES["lang_id"] = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {_sql_lang_hits('de')} AS h_de,
+         {_sql_lang_hits('en')} AS h_en,
+         {_sql_lang_hits('es')} AS h_es,
+         {_sql_lang_hits('fr')} AS h_fr
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM h
+"""
+
+_SQL_EN_SW = ", ".join(f"'{w}'" for w in _SW["en"])
+
+_ORACLES["text_quality"] = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+         END AS n_ws,
+         len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_ws, n_bpe,
+         CASE WHEN nonspace > 0
+              THEN punct::DOUBLE / nonspace ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_ws > 0
+              THEN len(list_filter(words,
+                       x -> list_contains([{_SQL_EN_SW}], x)))::DOUBLE
+                   / n_ws
+              ELSE 0.0 END AS sw_ratio
+  FROM base
+)
+SELECT doc_id, n_ws::INT AS n_ws, n_bpe::INT AS n_bpe,
+       round(punct_ratio, {ROUND}) AS punct,
+       round(
+         (least(n_ws / 20.0, 1.0)
+            * (CASE WHEN n_ws > 2000 THEN 0.5 ELSE 1.0 END)) * 0.4
+         + (1.0 - least(punct_ratio * 2.0, 1.0)) * 0.3
+         + least(sw_ratio * 5.0, 1.0) * 0.3,
+         {ROUND}) AS quality
+FROM m
+"""
+
+_ORACLES["fingerprint"] = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+         regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
+FROM documents
+"""
+
+
+def _knn_oracle() -> str:
+    qsel = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    case = " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(KNN_QUERY_IDS)
+    )
+    return f"""
+WITH q AS (
+  SELECT (CASE vec_id {case} END)::BIGINT AS query_id,
+         embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN ({qsel})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(1.0 - list_dot_product(e.embedding::DOUBLE[], q.qvec)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec, q.qvec))), {ROUND})
+           + 0.0 AS dist
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+         )::INT AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+_ORACLES["knn_topk"] = _knn_oracle()
+
+_ORACLES["embedding_dups"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                  a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]))),
+         {ROUND}) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                               a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]))) >= 0.5
+"""
+
+
+def _rrf_oracle() -> str:
+    knn = _knn_oracle().replace(f"rank <= {KNN_K}", "rank <= 20")
+    bm25 = _bm25_oracle().replace(
+        f"rank <= {TOP_K}", "rank <= 20"
+    )
+    return f"""
+WITH bm25_leg AS (
+  SELECT * FROM ({bm25}) WHERE query_id IN (1, 2)
+),
+knn_leg AS (
+  SELECT query_id + 1 AS query_id, vec_id AS doc_id, rank
+  FROM ({knn})
+),
+parts AS (
+  SELECT query_id, doc_id, 0.5 / (60 + rank) AS part FROM bm25_leg
+  UNION ALL
+  SELECT query_id, doc_id, 0.5 / (60 + rank) AS part FROM knn_leg
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(part), 9) AS rrf_score
+  FROM parts GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY rrf_score DESC, doc_id ASC
+         )::INT AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, rank FROM ranked WHERE rank <= 10
+"""
+
+
+_ORACLES["rrf_hybrid"] = _rrf_oracle()
+
+
 def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # BM25 / index family
         "doc_uid": q_doc_uid,
         "doc_lengths": q_doc_lengths,
         "corpus_stats": q_corpus_stats,
@@ -252,6 +633,19 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf": q_term_tf,
         "postings_rank": q_postings_rank,
         "bm25_topk": q_bm25_topk,
+        # training-data pipeline family
+        "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "lsh_candidates": q_lsh_candidates,   # rows-only
+        "simhash_dups": q_simhash_dups,       # rows-only
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        # vector family
+        "knn_topk": q_knn_topk,
+        "embedding_dups": q_embedding_dups,
+        "rrf_hybrid": q_rrf_hybrid,
     }
 
 
