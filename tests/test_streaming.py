@@ -1,0 +1,107 @@
+"""Structured Streaming: incremental index ingest equals the batch
+build on the same data; watermarked windowed aggs match a batch
+oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25_chroma_spark.config import BM25Config
+from bm25_chroma_spark.index.shards import ShardedIndex, build_sharded_index
+from bm25_chroma_spark.index.wand import search_sharded
+from bm25_chroma_spark.sources.corpus import synth_corpus_rows
+from bm25_chroma_spark.streaming.ingest import (
+    stream_events_to_memory,
+    stream_index_ingest,
+    windowed_event_counts,
+)
+
+CFG = BM25Config(num_term_buckets=8, salt_factor=4)
+
+
+def test_stream_ingest_equals_batch_build(spark, tmp_path):
+    rows = synth_corpus_rows(60, seed=21)
+    docs = [(i, r[4]) for i, r in enumerate(rows)]
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # three "arriving" files
+    for part in range(3):
+        chunk = docs[part * 20:(part + 1) * 20]
+        spark.createDataFrame(
+            chunk, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"chunk_{part}")
+        )
+    # flatten: streaming file source wants files under one dir
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for p in sorted(src.rglob("*.parquet")):
+        shutil.copy(p, flat / f"f{n}.parquet")
+        n += 1
+
+    idx_dir = str(tmp_path / "stream_index")
+    q = stream_index_ingest(
+        spark, str(flat), idx_dir, str(tmp_path / "ckpt"), config=CFG
+    )
+    q.awaitTermination(120)
+
+    batch_dir = str(tmp_path / "batch_index")
+    build_sharded_index(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        batch_dir, config=CFG, bucket_groups=1,
+    )
+
+    si = ShardedIndex(spark, idx_dir)
+    bi = ShardedIndex(spark, batch_dir)
+    assert si.n_docs == bi.n_docs == 60
+    assert math.isclose(si.avgdl, bi.avgdl, rel_tol=1e-12)
+
+    queries = spark.createDataFrame(
+        [(1, "import parser"), (2, "merge shard batch")],
+        "query_id long, query_text string",
+    )
+    a = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+         for r in search_sharded(si, queries, top_k=10).collect()}
+    b = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+         for r in search_sharded(bi, queries, top_k=10).collect()}
+    assert a == b
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = {
+        (r["window_start"], r["key"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+
+    import shutil
+
+    evdir = tmp_path / "events_src"
+    evdir.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", evdir / "events.parquet"
+    )
+    q = stream_events_to_memory(
+        spark,
+        str(evdir),
+        str(tmp_path / "ckpt2"),
+        table_name="wc_test",
+        schema=(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["key"]): (r["n"], r["total_value"])
+        for r in spark.table("wc_test").collect()
+    }
+    assert got == want
+    assert len(got) > 0
