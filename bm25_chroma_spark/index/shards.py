@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 
 from bm25_chroma_spark.config import BM25Config, DEFAULT_CONFIG
 from bm25_chroma_spark.index.encode import encode_postings
-from bm25_chroma_spark.operators.index_build import tokenize_docs
 
 SHARD_DDL = (
     "bucket int, term string, segment int, df long, "
@@ -88,6 +87,132 @@ def _encode_bucket_segment(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# map-side partial postings: one row per (input-partition, term,
+# segment) carrying packed arrays — the "per-partition segment
+# indexes" whose distributed merge is the final shuffle. Compared to
+# exploding one row per token occurrence, this shuffles ~2 orders of
+# magnitude fewer rows and each term string once per partition.
+_PARTIAL_DDL = (
+    "bucket int, term string, segment int, "
+    "doc_ids array<long>, tfs array<int>, dls array<int>"
+)
+
+
+def _map_docs_to_partials(n_buckets: int, salt_factor: int):
+    """ONE mapInPandas pass: raw (doc_id, text) -> per-(term, segment)
+    partial posting arrays PLUS doc-stat sentinel rows.
+
+    Collapsing tokenize + tf + segment-grouping into a single Python
+    stage matters: chained Arrow/python stages in one task pipeline
+    (UDF -> JVM -> UDF) measurably anti-scale under high parallelism,
+    while a single python stage scales with cores.
+
+    Sentinel rows (bucket = -1, term = '') carry each batch's
+    (doc_ids, dls) arrays so doc stats come out of the same pass —
+    empty docs are skipped entirely (reference bm25.py:155-156).
+    """
+    import zlib
+
+    from bm25_chroma_spark.functions.tokenizer import tokenize_tf_py
+
+    def gen(batches):
+        for pdf in batches:
+            acc: dict = {}
+            stat_ids: list = []
+            stat_dls: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pairs = tokenize_tf_py(text)
+                if not pairs:
+                    continue
+                did = int(doc_id)
+                dl = 0
+                for _, tf in pairs:
+                    dl += tf
+                seg = hash_segment(did, salt_factor)
+                for term, tf in pairs:
+                    key = (term, seg)
+                    ent = acc.get(key)
+                    if ent is None:
+                        acc[key] = ent = ([], [], [])
+                    ent[0].append(did)
+                    ent[1].append(tf)
+                    ent[2].append(dl)
+                stat_ids.append(did)
+                stat_dls.append(dl)
+            if not stat_ids:
+                continue
+            rows = [
+                {
+                    "bucket": zlib.crc32(term.encode("utf-8")) % n_buckets,
+                    "term": term,
+                    "segment": seg,
+                    "doc_ids": dids,
+                    "tfs": tfs,
+                    "dls": dls,
+                }
+                for (term, seg), (dids, tfs, dls) in acc.items()
+            ]
+            rows.append(
+                {
+                    "bucket": -1,
+                    "term": "",
+                    "segment": 0,
+                    "doc_ids": stat_ids,
+                    "tfs": [],
+                    "dls": stat_dls,
+                }
+            )
+            yield pd.DataFrame(rows)
+
+    return gen
+
+
+def hash_segment(doc_id: int, salt_factor: int) -> int:
+    """Python mirror of pmod(xxhash64(doc_id), salt_factor) is not
+    needed — segments only need to be deterministic and well-spread,
+    so the map-side build uses a splitmix-style mix of doc_id."""
+    x = (doc_id ^ (doc_id >> 30)) * 0xBF58476D1CE4E5B9 & (2**64 - 1)
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & (2**64 - 1)
+    return (x ^ (x >> 31)) % salt_factor
+
+
+def _merge_encode_bucket_segment(
+    pdf: pd.DataFrame, block_size: int
+) -> pd.DataFrame:
+    """Final merge of map-side partials for one (bucket, segment):
+    concatenate each term's arrays, sort by doc_id, encode."""
+    out = []
+    bucket = int(pdf["bucket"].iloc[0])
+    segment = int(pdf["segment"].iloc[0])
+    for term, grp in pdf.groupby("term", sort=False):
+        doc_ids = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in grp["doc_ids"]]
+        )
+        tfs = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in grp["tfs"]]
+        )
+        dls = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in grp["dls"]]
+        )
+        order = np.argsort(doc_ids, kind="mergesort")
+        enc = encode_postings(
+            doc_ids[order], tfs[order], dls[order], block_size=block_size
+        )
+        out.append(
+            {
+                "bucket": bucket,
+                "term": term,
+                "segment": segment,
+                "df": enc.count,
+                "doc_bytes": enc.doc_bytes,
+                "tf_bytes": enc.tf_bytes,
+                "dl_bytes": enc.dl_bytes,
+                "blocks": enc.blocks,
+            }
+        )
+    return pd.DataFrame(out)
+
+
 def build_sharded_index(
     docs: DataFrame,
     out_dir: str,
@@ -109,17 +234,36 @@ def build_sharded_index(
     spark = docs.sparkSession
     cfg_hash = _config_hash(config)
 
-    tokenized = tokenize_docs(docs, id_col, text_col, use_jvm_tokenizer)
-    tokenized = tokenized.persist()
+    # ONE python pass over the corpus: tokenize + tf + map-side
+    # partial postings per (term, segment), with doc-stat sentinel
+    # rows in the same output. The wide shuffle then moves ~1 row per
+    # (partition, term, segment) carrying packed arrays — two orders
+    # of magnitude fewer rows than exploding per token occurrence,
+    # each term string once per partition. Bucket uses crc32 (Python
+    # zlib.crc32 matches, so the driver can prune buckets for query
+    # terms without a JVM round-trip).
+    raw = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    ).mapInPandas(
+        _map_docs_to_partials(config.num_term_buckets, config.salt_factor),
+        schema=_PARTIAL_DDL,
+    ).persist()
 
     stats_path = base / "stats.json"
     if not (resume and stats_path.exists()):
-        row = tokenized.agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-        tokenized.select("doc_id", "dl").write.mode("overwrite").parquet(
+        doc_stats = raw.filter(F.col("bucket") == -1).select(
+            F.explode(F.arrays_zip("doc_ids", "dls")).alias("z")
+        ).select(
+            F.col("z.doc_ids").alias("doc_id"),
+            F.col("z.dls").cast("int").alias("dl"),
+        )
+        doc_stats.write.mode("overwrite").parquet(
             str(base / "doc_stats.parquet")
         )
+        row = docs.sparkSession.read.parquet(
+            str(base / "doc_stats.parquet")
+        ).agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
         stats = {
             "n_docs": int(row["n"] or 0),
             "avgdl": float(row["avgdl"] or 0.0),
@@ -133,26 +277,7 @@ def build_sharded_index(
         if stats["config_hash"] != cfg_hash:
             raise ValueError("resume with different config")
 
-    flat = tokenized.select(
-        "doc_id", "dl", F.explode("terms").alias("t")
-    ).select(
-        F.col("t.term").alias("term"),
-        "doc_id",
-        F.col("t.tf").alias("tf"),
-        "dl",
-        # crc32 (not xxhash64): Python's zlib.crc32 computes the same
-        # value, so the driver can prune buckets for query terms
-        # without a JVM round-trip.
-        F.pmod(
-            F.crc32(F.encode(F.col("t.term"), "utf-8")),
-            F.lit(config.num_term_buckets),
-        )
-        .cast("int")
-        .alias("bucket"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(config.salt_factor))
-        .cast("int")
-        .alias("segment"),
-    )
+    partials = raw.filter(F.col("bucket") >= 0)
 
     block_size = config.block_size
     done_groups = 0
@@ -171,11 +296,11 @@ def build_sharded_index(
             raise RuntimeError(f"injected failure before group {g}")
 
         t0 = time.time()
-        part = flat.filter(
+        part = partials.filter(
             F.pmod(F.col("bucket"), F.lit(bucket_groups)) == g
         )
         shards = part.groupBy("bucket", "segment").applyInPandas(
-            lambda pdf: _encode_bucket_segment(pdf, block_size),
+            lambda pdf: _merge_encode_bucket_segment(pdf, block_size),
             schema=SHARD_DDL,
         )
         gdir = base / "shards" / f"group={g}"
@@ -222,7 +347,7 @@ def build_sharded_index(
             totals[k] += manifest["metrics"][k]
         totals["wall_sec"] += wall
 
-    tokenized.unpersist()
+    raw.unpersist()
     return {"groups": bucket_groups, **totals, "n_docs": stats["n_docs"],
             "avgdl": stats["avgdl"]}
 

@@ -74,8 +74,26 @@ def bm25_score_queries(
     cfg = config or index.config
     qt = query_terms(queries)
 
-    exploded = index.exploded(query_cap=cfg.query_postings_cap)
-    joined = exploded.join(F.broadcast(qt), "term", "inner")
+    # join BEFORE exploding: only the query's terms ever decompress
+    # their posting arrays (the explode of non-matching terms would
+    # dominate at scale — Catalyst cannot push a join below Generate)
+    arr = F.col("postings")
+    if cfg.query_postings_cap:
+        arr = F.slice(arr, 1, cfg.query_postings_cap)
+    matched = index.postings.join(F.broadcast(qt), "term", "inner")
+    joined = matched.select(
+        "query_id",
+        "qtf",
+        "df",
+        F.explode(arr).alias("p"),
+    ).select(
+        "query_id",
+        "qtf",
+        "df",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.dl").alias("dl"),
+    )
 
     contrib = bm25_score_expr(
         F.col("tf").cast("double"),

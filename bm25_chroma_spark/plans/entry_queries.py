@@ -80,11 +80,19 @@ def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_INDEX_CACHE: Dict[str, object] = {}
+
+
 def _index(spark: SparkSession, sf_dir: str):
-    return build_logical_index(
-        _load_docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        config=BM25Config(),
-    )
+    # one logical index per sf_dir per process: entry queries reuse it
+    # instead of re-tokenizing the corpus for every contract check
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_logical_index(
+            _load_docs(spark, sf_dir), id_col="doc_id", text_col="text",
+            config=BM25Config(),
+        )
+    return _INDEX_CACHE[key]
 
 
 def _queries_df(spark: SparkSession) -> DataFrame:
