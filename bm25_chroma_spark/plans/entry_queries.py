@@ -630,6 +630,82 @@ SELECT query_id, doc_id, rrf_score, rank FROM ranked WHERE rank <= 10
 _ORACLES["rrf_hybrid"] = _rrf_oracle()
 
 
+# ----------------------------------------------------------------- #
+# relational showcase (general analytics over the TPC-H-ish tables)  #
+# ----------------------------------------------------------------- #
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation over lineitem: partial+final hash
+    agg, whole-stage codegen, no UDFs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain with a broadcast dimension: customer -> nation,
+    orders aggregated per nation."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("order_cnt"),
+        )
+    )
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table (the batch
+    form of the streaming operator)."""
+    from bm25_chroma_spark.streaming.ingest import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev, window="10 minutes")
+
+
+_ORACLES["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORACLES["revenue_by_nation"] = """
+SELECT n.n_name AS nation,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*)::BIGINT AS order_cnt
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+_ORACLES["event_windows"] = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type AS key,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # BM25 / index family
@@ -654,6 +730,10 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": q_knn_topk,
         "embedding_dups": q_embedding_dups,
         "rrf_hybrid": q_rrf_hybrid,
+        # relational showcase
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "event_windows": q_event_windows,
     }
 
 

@@ -232,6 +232,51 @@ class SparkHybridRetriever:
             "mode": mode,
         }
 
+    def add_new_documents_only(
+        self, documents: List[str], doc_ids: List[str], **kwargs
+    ) -> Dict:
+        """Insert only docs whose ids are not already present —
+        the dedup-before-insert pattern of the reference example
+        (examples/brown_corpus_w_ratio.py:90-104), expressed as a
+        left_anti join against the live corpus."""
+        existing = {
+            r["doc_uid"]
+            for r in self.corpus_df()
+            .filter(F.col("doc_uid").isin(doc_ids))
+            .select("doc_uid")
+            .collect()
+        }
+        fresh = [
+            (d, i) for d, i in zip(documents, doc_ids)
+            if i not in existing
+        ]
+        if not fresh:
+            return {"total_documents": 0, "skipped_existing": len(doc_ids)}
+        stats = self.add_documents_batch(
+            [d for d, _ in fresh], [i for _, i in fresh], **kwargs
+        )
+        stats["skipped_existing"] = len(doc_ids) - len(fresh)
+        return stats
+
+    def get_preprocessing_info(self) -> Dict:
+        """Tokenizer capability report (reference bm25.py:312-329);
+        lemmatization is pinned off — the deterministic fallback path."""
+        return {
+            "lemmatization_available": False,
+            "features": [
+                "Strips punctuation while preserving alphanumeric",
+                "Converts to lowercase",
+                "Preserves part numbers and identifiers",
+                "Vectorized pandas UDF + JVM expression fast path",
+            ],
+            "preserved_patterns": [
+                "Part numbers (P123, SN456)",
+                "Serial numbers with mixed alphanumeric",
+                "Model numbers and codes",
+                "Any alphanumeric identifier",
+            ],
+        }
+
     # ------------------------------------------------------------ #
     # removal / reset                                               #
     # ------------------------------------------------------------ #

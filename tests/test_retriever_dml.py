@@ -236,3 +236,18 @@ def test_rank_identity_after_dml_vs_reference(
             for (ws, wd), (gs, gd) in zip(groups(want), groups(got)):
                 assert math.isclose(ws, gs, rel_tol=1e-9), (step, q)
                 assert wd == gd, (step, q, want, got)
+
+
+def test_add_new_documents_only(retriever):
+    """Dedup-before-insert (reference brown_corpus_w_ratio.py:90-104)."""
+    retriever.add_documents_batch(["first doc here"], ["a"])
+    stats = retriever.add_new_documents_only(
+        ["replacement ignored", "second doc text"], ["a", "b"]
+    )
+    assert stats["skipped_existing"] == 1
+    assert stats["total_documents"] == 1
+    # 'a' kept its original content
+    assert retriever.search_bm25("first doc", top_k=2)[0][0] == "a"
+    assert retriever.search_bm25("second doc", top_k=2)[0][0] == "b"
+    info = retriever.get_preprocessing_info()
+    assert info["lemmatization_available"] is False
