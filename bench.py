@@ -172,12 +172,15 @@ def main() -> None:
 
     res = run_workload(CPUS, SF_DIR, SYNTH_FILES)
     t = res["timings"]
-    total = sum(v for k, v in t.items() if k.startswith("q"))
+    qlat = sorted(v for k, v in t.items() if k.startswith("q"))
+    total = sum(qlat)
+    p95 = qlat[max(0, int(len(qlat) * 0.95) - 1)] if qlat else 0.0
     out = {
         "metric": "bm25_flagship_query_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in t.items()},
+        "bm25_query_p95_sec": round(p95, 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_docs": res["n_docs"],
         "synth_files_per_sec": round(res["synth_files_per_sec"], 1),

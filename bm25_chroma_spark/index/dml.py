@@ -190,6 +190,77 @@ def apply_dml(
     }
 
 
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold all DML generations back into a clean base: newest live
+    (term, segment) rows become generation-0 shards, doc_stats
+    collapses to live rows, gen dirs are dropped. Readers see
+    identical content before and after; read amplification returns
+    to one layer. (The LSM maintenance step — run when the
+    generation count grows.)"""
+    import shutil
+
+    from pyspark.sql import Window
+
+    base = Path(index_dir)
+    stats = _read_stats(base)
+    cfg = BM25Config(**stats["config"])
+    gen_root = base / "gen"
+    if not gen_root.exists() or not list(gen_root.glob("gen_*")):
+        return {"compacted": False, "generation": stats.get("generation", 0)}
+
+    groups = len(list((base / "manifests").glob("group_*.json")))
+
+    parts = [
+        spark.read.option("basePath", str(base / "shards"))
+        .parquet(str(base / "shards"))
+        .select(
+            "bucket", "term", "segment", "df", "doc_bytes", "tf_bytes",
+            "dl_bytes", "blocks", F.lit(0).alias("gen"),
+        )
+    ]
+    for g, p in _gen_dirs(base, "shards"):
+        parts.append(
+            spark.read.parquet(p).select(
+                "bucket", "term", "segment", "df", "doc_bytes",
+                "tf_bytes", "dl_bytes", "blocks", F.lit(g).alias("gen"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("term", "segment").orderBy(F.desc("gen"))
+    live = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("df") > 0))
+        .drop("rn", "gen")
+        .withColumn(
+            "group", F.pmod(F.col("bucket"), F.lit(groups)).cast("int")
+        )
+    )
+    tmp = base / "shards_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for g in range(groups):
+        live.filter(F.col("group") == g).drop("group").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(str(tmp / f"group={g}"))
+
+    ds = _live_doc_stats(spark, base)
+    ds_tmp = base / "doc_stats_compacting"
+    ds.write.mode("overwrite").parquet(str(ds_tmp))
+
+    old = base / "shards"
+    shutil.rmtree(str(old))
+    tmp.rename(old)
+    shutil.rmtree(str(base / "doc_stats.parquet"))
+    ds_tmp.rename(base / "doc_stats.parquet")
+    shutil.rmtree(str(gen_root))
+
+    prev_gen = stats.get("generation", 0)
+    stats["generation"] = 0
+    _write_stats(base, stats)
+    return {"compacted": True, "folded_generations": prev_gen}
+
+
 def _gen_dirs(base: Path, kind: str, upto_gen: Optional[int] = None):
     root = base / "gen"
     if not root.exists():

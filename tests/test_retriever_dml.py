@@ -251,3 +251,49 @@ def test_add_new_documents_only(retriever):
     assert retriever.search_bm25("second doc", top_k=2)[0][0] == "b"
     info = retriever.get_preprocessing_info()
     assert info["lemmatization_available"] is False
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    """compact_index folds generations; queries identical after."""
+    from bm25_chroma_spark.index.dml import compact_index
+    from bm25_chroma_spark.index.wand import search_sharded
+
+    ret = SparkHybridRetriever(spark, str(tmp_path / "cstate"))
+    ret.add_documents_batch(
+        ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"],
+        ["1", "2", "3"],
+    )
+    ret.add_documents_batch(["alpha epsilon zeta"], ["4"])
+    ret.remove_document("2")
+    ret.add_documents_batch(["beta zeta eta replaced"], ["3"])
+
+    idx_dir = str(tmp_path / "cstate" / "index")
+    q = spark.createDataFrame(
+        [(1, "alpha gamma"), (2, "zeta beta"), (3, "epsilon")],
+        "query_id long, query_text string",
+    )
+    from bm25_chroma_spark.index.shards import ShardedIndex
+
+    before = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in search_sharded(
+            ShardedIndex(spark, idx_dir), q, top_k=10
+        ).collect()
+    }
+    res = compact_index(spark, idx_dir)
+    assert res["compacted"] and res["folded_generations"] >= 2
+
+    idx2 = ShardedIndex(spark, idx_dir)
+    assert idx2.generation == 0
+    after = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in search_sharded(idx2, q, top_k=10).collect()
+    }
+    assert before == after
+
+    # second compaction is a no-op
+    assert compact_index(spark, idx_dir)["compacted"] is False
+    # DML still works after compaction
+    ret._index.refresh()
+    ret.remove_document("1")
+    assert ret.search_bm25("alpha", top_k=5)[0][0] == "4"

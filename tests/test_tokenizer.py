@@ -38,6 +38,20 @@ def test_matches_reference(reference_bm25_cls):
         assert tokenize_py(text) == ref._tokenize(text), text
 
 
+def test_matches_reference_fuzz(reference_bm25_cls):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ref = reference_bm25_cls()
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def check(text):
+        assert tokenize_py(text) == ref._tokenize(text)
+
+    check()
+
+
 def test_non_string_returns_empty():
     assert tokenize_py(None) == []
     assert tokenize_py(42) == []
