@@ -39,7 +39,7 @@ from bm25_chroma_spark.index.shards import (
     ShardedIndex,
     decode_shards_to_postings,
 )
-from bm25_chroma_spark.operators.scoring import bm25_score_expr, query_terms
+from bm25_chroma_spark.operators.scoring import bm25_score_expr
 
 _EPS = 1e-12
 
@@ -231,14 +231,33 @@ def search_sharded(
     pruning; unknown terms drop out via the inner join (reference
     'continue', bm25.py:277-278)."""
     cfg = index.config
-    qt = query_terms(queries)
-    qt_rows = qt.collect()  # queries are tiny by contract
-    terms = sorted({r["term"] for r in qt_rows})
+    spark = queries.sparkSession
+    # queries are tiny by contract: collect the raw texts once and
+    # tokenize driver-side with the same reference-parity function —
+    # avoids a dedicated pandas-UDF Spark job per search call
+    from collections import Counter
+
+    from bm25_chroma_spark.functions.tokenizer import tokenize_py
+
+    qrows = queries.select(
+        F.col(queries.columns[0]).alias("query_id"),
+        F.col(queries.columns[1]).alias("query_text"),
+    ).collect()
+    qt_data = [
+        (int(r["query_id"]), term, int(qtf))
+        for r in qrows
+        for term, qtf in sorted(
+            Counter(tokenize_py(r["query_text"])).items()
+        )
+    ]
+    terms = sorted({t for _, t, _ in qt_data})
     if not terms:
-        return queries.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], "query_id long, doc_id long, score double, rank int"
         )
-    spark = queries.sparkSession
+    qt = spark.createDataFrame(
+        qt_data, "query_id long, term string, qtf int"
+    )
     shards = index.shards_for_terms(terms)
     dfs = index.term_dfs(terms)  # (term, df) — small
 
