@@ -98,7 +98,13 @@ def encode_postings(
 
     starts = np.arange(0, n, block_size, dtype=np.int64)
     deltas = np.empty(n, dtype=np.uint64)
-    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    # int64 wraparound subtraction == correct delta mod 2^64: doc ids
+    # may span the full signed range (e.g. xxhash64 ids), so deltas
+    # and reconstruction work in modular uint64 arithmetic throughout
+    with np.errstate(over="ignore"):
+        deltas[1:] = (
+            doc_ids[1:].view(np.uint64) - doc_ids[:-1].view(np.uint64)
+        )
     deltas[starts] = 0  # restart: first of block relative to first_doc
 
     doc_bytes, doc_lens = varint_encode(deltas)
@@ -126,23 +132,30 @@ def encode_postings(
     return EncodedPostings(doc_bytes, tf_bytes, dl_bytes, blocks, n)
 
 
+def _docs_from_deltas(first_doc: int, deltas_u64: np.ndarray) -> np.ndarray:
+    """first_doc + prefix-sum of deltas in modular uint64 arithmetic,
+    viewed back as signed int64 (handles ids across the full range)."""
+    base = np.uint64(np.int64(first_doc).view(np.uint64))
+    with np.errstate(over="ignore"):
+        acc = base + np.cumsum(deltas_u64, dtype=np.uint64)
+    return acc.view(np.int64)
+
+
 def decode_all(enc_doc: bytes, enc_tf: bytes, enc_dl: bytes,
                blocks: List[dict]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode the full segment back to (doc_ids, tfs, dls)."""
-    deltas = varint_decode(enc_doc).astype(np.int64)
+    deltas = varint_decode(enc_doc)
     tfs = varint_decode(enc_tf).astype(np.int64)
     dls = varint_decode(enc_dl).astype(np.int64)
-    doc_ids = np.cumsum(deltas)
-    # apply block restarts: add (first_doc - running value) at starts
+    doc_ids = np.empty(len(deltas), dtype=np.int64)
     pos = 0
-    adj = 0  # sum of bases already applied to the running cumsum
-    offset = np.zeros(len(deltas), dtype=np.int64)
     for blk in blocks:
-        base = blk["first_doc"] - int(doc_ids[pos]) - adj
-        offset[pos:] += base
-        adj += base
-        pos += blk["n"]
-    return doc_ids + offset, tfs, dls
+        e = pos + blk["n"]
+        doc_ids[pos:e] = _docs_from_deltas(
+            blk["first_doc"], deltas[pos:e]
+        )
+        pos = e
+    return doc_ids, tfs, dls
 
 
 def decode_block(enc_doc: bytes, enc_tf: bytes, enc_dl: bytes,
@@ -150,11 +163,10 @@ def decode_block(enc_doc: bytes, enc_tf: bytes, enc_dl: bytes,
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a single block independently (for WAND skipping)."""
     d_end, t_end, l_end = next_offs
-    deltas = varint_decode(enc_doc[blk["doc_off"]:d_end]).astype(np.int64)
+    deltas = varint_decode(enc_doc[blk["doc_off"]:d_end])
     tfs = varint_decode(enc_tf[blk["tf_off"]:t_end]).astype(np.int64)
     dls = varint_decode(enc_dl[blk["dl_off"]:l_end]).astype(np.int64)
-    doc_ids = blk["first_doc"] + np.cumsum(deltas)
-    return doc_ids, tfs, dls
+    return _docs_from_deltas(blk["first_doc"], deltas), tfs, dls
 
 
 def block_upper_bound(max_tf: float, min_dl: float, idf: float,

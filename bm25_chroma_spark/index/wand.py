@@ -7,11 +7,18 @@ Two strategies, property-tested to produce identical top-k:
   Simple, fully distributed, the correctness baseline.
 
 * ``wand`` — Block-Max WAND (Ding & Suel, SIGIR'11) document-at-a-time
-  pruning inside a grouped pandas UDF: one group per query holds that
-  query's (term, segment) shard rows; cursors skip whole blocks whose
-  upper bound cannot beat the running top-k threshold. Segments are
-  disjoint doc sets per term, so each (term, segment) acts as an
-  independent posting list — additivity keeps the algorithm exact.
+  pruning inside a grouped pandas UDF, parallelized per
+  (query, segment): segments partition the doc space, so per-segment
+  top-k provably covers the global top-k and S small DAAT loops run
+  as S parallel tasks. Cursors skip whole blocks whose upper bound
+  cannot beat the running threshold.
+
+Strategy guidance: ``exhaustive`` (default) is vectorized end-to-end
+and wins when query terms are hot and score distributions flat (the
+synthetic fixture's worst case for pruning). ``wand`` wins when
+upper bounds discriminate — selective terms, skewed tf/dl, small k
+over long tails — and bounds worst-case work when a per-term query
+cap is unacceptable. Both are exact (property-tested identical).
 
 Pruning uses a conservative epsilon (skip only when the bound is
 below threshold - 1e-12) so float drift can never drop a true top-k
@@ -90,8 +97,10 @@ class _Cursor:
         self.bi = bi
         deltas = varint_decode(
             self.doc_b[self.d_off[bi]:self.d_off[bi + 1]]
-        ).astype(np.int64)
-        self.docs = self.first[bi] + np.cumsum(deltas)
+        )
+        from bm25_chroma_spark.index.encode import _docs_from_deltas
+
+        self.docs = _docs_from_deltas(int(self.first[bi]), deltas)
         self.tfs = varint_decode(
             self.tf_b[self.t_off[bi]:self.t_off[bi + 1]]
         ).astype(np.float64)
@@ -105,15 +114,19 @@ class _Cursor:
         return float(self.ubs[self.bi]) if self.cur != math.inf else 0.0
 
     def block_boundary(self) -> int:
-        """Largest doc id that could live in the current block."""
+        """Largest doc id that could live in the current block (doc
+        ids span the full signed-64 range, e.g. xxhash64 ids)."""
         if self.cur == math.inf:
-            return 1 << 62
+            return (1 << 63) - 1
         if self.bi + 1 < self.nblocks:
             return int(self.first[self.bi + 1]) - 1
-        return 1 << 62
+        return (1 << 63) - 1
 
     def next_geq(self, target: int):
         if self.cur == math.inf or self.cur >= target:
+            return
+        if target > (1 << 63) - 1:  # beyond any representable doc id
+            self.cur = math.inf
             return
         # block containing target: last block with first_doc <= target
         bi = int(np.searchsorted(self.first, target, side="right")) - 1
@@ -298,14 +311,20 @@ def search_sharded(
     if strategy != "wand":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    # --- Block-Max WAND: one pandas group per query ---
+    # --- Block-Max WAND, parallel per (query, segment) ---
+    # Segments partition the DOC space (segment = f(doc_id)), so every
+    # document's full score lives inside one segment: running an
+    # independent WAND per (query, segment) and keeping each segment's
+    # top-k provably covers the global top-k, while turning one big
+    # DAAT loop over terms x segments cursors into S small parallel
+    # loops over ~|query terms| cursors each.
     dfs_g = dfs.withColumnRenamed("df", "df_global")
     qshards = shards.join(F.broadcast(dfs_g), "term").join(
         F.broadcast(qt), "term"
     )
     k1, b = cfg.k1, cfg.b
 
-    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_query_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         cursors = []
         for r in pdf.itertuples(index=False):
@@ -321,14 +340,22 @@ def search_sharded(
                 "query_id": qid,
                 "doc_id": [d for d, _ in top],
                 "score": [s for _, s in top],
-                "rank": range(1, len(top) + 1),
             }
         )
 
-    out = qshards.groupBy("query_id").applyInPandas(
-        run_query,
-        schema="query_id long, doc_id long, score double, rank int",
+    candidates = qshards.groupBy("query_id", "segment").applyInPandas(
+        run_query_segment,
+        schema="query_id long, doc_id long, score double",
     )
     if score_round is not None:
-        out = out.withColumn("score", F.round("score", score_round))
-    return out
+        candidates = candidates.withColumn(
+            "score", F.round("score", score_round)
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -1,0 +1,104 @@
+"""Cap-binding semantics vs the reference: the build cap truncates
+posting lists AND feeds the truncated length into IDF
+(bm25.py:56,190-191,305-310); the query cap scores only the first N
+postings of the tf-ordered list (bm25.py:283).
+
+Corpora use strictly distinct tf values per term so the reference's
+otherwise-underdetermined tie order (SURVEY.md §7 risk 1) is fully
+pinned and rank-identity is exact even at the truncation boundary.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bm25_chroma_spark.config import BM25Config
+from bm25_chroma_spark.operators.index_build import build_logical_index
+from bm25_chroma_spark.operators.scoring import bm25_score_queries
+
+
+def _corpus(n_docs: int):
+    """Doc i repeats 'hot' i+1 times (distinct tfs) plus filler unique
+    words so doc lengths differ."""
+    docs = []
+    for i in range(n_docs):
+        words = ["hot"] * (i + 1) + [f"filler{i}w{j}" for j in range(i % 5)]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@pytest.mark.parametrize(
+    "build_cap,query_cap",
+    [(5, None), (None, 4), (6, 3)],
+)
+def test_caps_rank_identical_to_reference(
+    spark, reference_bm25_cls, build_cap, query_cap
+):
+    docs = _corpus(12)
+    ref = reference_bm25_cls(
+        max_postings_per_term=build_cap if build_cap else 10**9
+    )
+    ref.add_chunks_batch([(str(i), t) for i, t in docs])
+
+    # patch the reference's hardcoded query cap when ours differs
+    want = {}
+    if query_cap is None:
+        want_list = ref.search("hot hot", top_k=20)
+    else:
+        # reproduce reference search with a custom cap: identical loop
+        # semantics, only the slice bound changes (bm25.py:283)
+        import collections
+
+        scores = collections.defaultdict(float)
+        for term in ref._tokenize("hot hot"):
+            if term not in ref.inverted_index:
+                continue
+            idf = ref._compute_idf(term)
+            for freq, cidx in ref.inverted_index[term][:query_cap]:
+                if ref.chunk_lengths[cidx] == 0:
+                    continue
+                dl = ref.chunk_lengths[cidx]
+                num = freq * (ref.k1 + 1)
+                den = freq + ref.k1 * (
+                    1 - ref.b + ref.b * dl / ref.avg_chunk_length
+                )
+                scores[ref.chunk_id_map[cidx]] += (
+                    idf * num / den / math.sqrt(dl)
+                )
+        want_list = sorted(
+            scores.items(), key=lambda x: x[1], reverse=True
+        )[:20]
+    want = {int(cid): s for cid, s in want_list}
+
+    cfg = BM25Config(
+        max_postings_per_term=build_cap,
+        query_postings_cap=query_cap,
+        salt_factor=4,
+    )
+    sdocs = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_logical_index(sdocs, config=cfg)
+    queries = spark.createDataFrame(
+        [(1, "hot hot")], "query_id long, query_text string"
+    )
+    got_rows = bm25_score_queries(queries, idx, top_k=20).collect()
+    got = {r["doc_id"]: r["score"] for r in got_rows}
+
+    assert set(got) == set(want)
+    for d in want:
+        assert math.isclose(got[d], want[d], rel_tol=1e-9), (
+            d, got[d], want[d],
+        )
+
+
+def test_build_cap_feeds_idf(spark, reference_bm25_cls):
+    """df used in IDF is the CAPPED list length (reference quirk)."""
+    docs = _corpus(10)
+    cfg = BM25Config(max_postings_per_term=4, salt_factor=4)
+    sdocs = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_logical_index(sdocs, config=cfg)
+    row = idx.postings.filter("term = 'hot'").collect()[0]
+    assert row["df"] == 4  # not the true df of 10
+    # kept postings are the 4 highest-tf docs (tf 10, 9, 8, 7)
+    assert [p["tf"] for p in row["postings"]] == [10, 9, 8, 7]

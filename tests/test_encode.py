@@ -89,3 +89,21 @@ def test_empty():
     assert enc.count == 0 and enc.blocks == []
     d, t, l = decode_all(enc.doc_bytes, enc.tf_bytes, enc.dl_bytes, enc.blocks)
     assert len(d) == 0
+
+
+def test_full_range_doc_ids():
+    """xxhash64-style ids span the whole signed-64 range; the codec's
+    modular uint64 deltas must round-trip across sign boundaries."""
+    doc_ids = np.array(
+        [-(2**63), -(2**62), -5, 0, 3, 2**40, 2**62, 2**63 - 1],
+        dtype=np.int64,
+    )
+    tfs = np.arange(1, 9, dtype=np.int64)
+    dls = np.full(8, 50, dtype=np.int64)
+    for bs in (1, 2, 3, 8):
+        enc = encode_postings(doc_ids, tfs, dls, block_size=bs)
+        d, t, l = decode_all(
+            enc.doc_bytes, enc.tf_bytes, enc.dl_bytes, enc.blocks
+        )
+        np.testing.assert_array_equal(d, doc_ids)
+        np.testing.assert_array_equal(t, tfs)
