@@ -41,7 +41,7 @@ SYNTH_FILES = int(os.environ.get("SPARK_GRAFT_SYNTH_FILES", "20000"))
 
 
 def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
-    from bm25_chroma_spark.config import BM25Config
+    from bm25_chroma_spark.config import LOSSLESS_CONFIG
     from bm25_chroma_spark.index.shards import (
         ShardedIndex,
         build_sharded_index,
@@ -69,7 +69,7 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     # 2. physical sharded build
     out = tempfile.mkdtemp(prefix=f"bench_shards_{cpus}_")
     t0 = time.time()
-    build_sharded_index(docs, out, config=BM25Config(), bucket_groups=2)
+    build_sharded_index(docs, out, config=LOSSLESS_CONFIG, bucket_groups=2)
     timings["index_build_sharded"] = time.time() - t0
 
     # 3. per-query latency (sharded exhaustive), one query at a time
@@ -105,7 +105,7 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     )
     out2 = tempfile.mkdtemp(prefix=f"bench_synth_{cpus}_")
     build_sharded_index(
-        corpus_docs, out2, config=BM25Config(), bucket_groups=1
+        corpus_docs, out2, config=LOSSLESS_CONFIG, bucket_groups=1
     )
     timings["synth_build_20k"] = time.time() - t0
     synth_throughput = synth_files / timings["synth_build_20k"]
@@ -124,7 +124,7 @@ def run_scaling_workload(cpus: int, synth_files: int) -> dict:
     """The scaling-evidence job: synthetic corpus generation + sharded
     index build (tokenize -> salted groupBy -> encode -> write), the
     pipeline whose one wide shuffle is the at-scale bottleneck."""
-    from bm25_chroma_spark.config import BM25Config
+    from bm25_chroma_spark.config import LOSSLESS_CONFIG
     from bm25_chroma_spark.index.shards import build_sharded_index
     from bm25_chroma_spark.session import get_spark
     from bm25_chroma_spark.sources.corpus import synth_corpus
@@ -146,7 +146,7 @@ def run_scaling_workload(cpus: int, synth_files: int) -> dict:
     t0 = time.time()
     corpus_docs = spark.read.parquet(src).repartition(cpus * 4)
     build_sharded_index(
-        corpus_docs, out, config=BM25Config(), bucket_groups=1
+        corpus_docs, out, config=LOSSLESS_CONFIG, bucket_groups=1
     )
     wall = time.time() - t0
     shutil.rmtree(src, ignore_errors=True)

@@ -45,3 +45,11 @@ class BM25Config:
 
 
 DEFAULT_CONFIG = BM25Config()
+
+# The at-scale mode: no posting caps anywhere. The reference's caps
+# are tf-ordered-list semantics the doc-ordered sharded path refuses
+# to silently approximate (index/wand.py guard); production corpora
+# run lossless.
+LOSSLESS_CONFIG = BM25Config(
+    max_postings_per_term=None, query_postings_cap=None
+)

@@ -28,6 +28,7 @@ import json
 from pathlib import Path
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,20 +58,33 @@ def apply_dml(
     """One DML batch against a built index.
 
     upserts:     (doc_id long, text string) — added; an existing
-                 doc_id is replaced (remove-then-add).
+                 doc_id is replaced (remove-then-add). NOTE: complete
+                 replacement requires the OLD text of every existing
+                 id to also arrive via ``delete_docs`` (the caller
+                 owns the corpus and passes prior versions back, as
+                 SparkHybridRetriever and stream_index_ingest do) —
+                 otherwise terms that only existed in the previous
+                 version keep stale postings. This mirrors the
+                 reference, which re-tokenizes its stored chunk_texts
+                 on removal (bm25.py:238-249).
     delete_docs: (doc_id long, text string) — removed; text is the
-                 stored content (the caller owns the corpus table and
-                 passes it back, mirroring the reference's
-                 chunk_texts re-tokenization). Unknown ids no-op.
+                 stored content. Unknown ids no-op.
+
+    Victim ids and affected terms stay DataFrames end-to-end
+    (broadcast semi/anti joins); only the bounded bucket list reaches
+    the driver, so bulk deletes of millions of docs never build a
+    driver-side id list.
 
     Returns {generation, affected_terms, live_docs, avgdl}.
     """
+    from pyspark.sql.types import IntegerType
+
+    from bm25_chroma_spark.index.shards import ShardedIndex, hash_segment_np
+
     base = Path(index_dir)
     stats = _read_stats(base)
     cfg = BM25Config(**stats["config"])
     gen = int(stats.get("generation", 0)) + 1
-
-    from bm25_chroma_spark.index.shards import ShardedIndex
 
     index = ShardedIndex(spark, index_dir)
 
@@ -84,23 +98,34 @@ def apply_dml(
 
     # victims = explicit deletes + upserts of existing ids
     victims = delete_docs.unionByName(upserts).select("doc_id", "text")
+    victim_ids = victims.select("doc_id").distinct()
 
-    # affected terms: everything in victim or new texts
+    # affected terms: everything in victim or new texts — a DataFrame
+    # (vocabulary of a bulk batch can be large)
     vic_tok = tokenize_docs(victims, "doc_id", "text")
     new_tok = tokenize_docs(upserts, "doc_id", "text").persist()
-    affected_terms = sorted(
-        r["term"]
-        for r in vic_tok.select(F.explode("terms.term").alias("term"))
+    affected_terms_df = (
+        vic_tok.select(F.explode("terms.term").alias("term"))
         .unionByName(new_tok.select(F.explode("terms.term").alias("term")))
         .distinct()
-        .collect()
+        .persist()
     )
-    victim_ids = [r["doc_id"] for r in victims.select("doc_id").collect()]
+    n_affected = affected_terms_df.count()
 
-    if affected_terms:
-        old = decode_shards_to_postings(
-            index.shards_for_terms(affected_terms)
-        ).filter(~F.col("doc_id").isin(victim_ids))
+    # segment assignment MUST match the base build's hash_segment —
+    # one segment function across the index's life, or per-segment
+    # WAND sees the same doc in two segments with split scores
+    salt = cfg.salt_factor
+
+    @F.pandas_udf(IntegerType())
+    def seg_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(hash_segment_np(doc_id.to_numpy(), salt))
+
+    if n_affected:
+        aff_shards = index.shards_for_terms_df(affected_terms_df).persist()
+        old = decode_shards_to_postings(aff_shards).join(
+            F.broadcast(victim_ids), "doc_id", "left_anti"
+        )
 
         new_flat = new_tok.select(
             "doc_id", "dl", F.explode("terms").alias("t")
@@ -122,9 +147,7 @@ def apply_dml(
                 F.crc32(F.encode(F.col("term"), "utf-8")),
                 F.lit(cfg.num_term_buckets),
             ).cast("int").alias("bucket"),
-            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_factor))
-            .cast("int")
-            .alias("segment"),
+            seg_udf(F.col("doc_id")).alias("segment"),
         )
         block_size = cfg.block_size
         encoded = keyed.groupBy("bucket", "segment").applyInPandas(
@@ -133,11 +156,7 @@ def apply_dml(
         )
 
         # tombstones: (term, segment) that existed but emptied out
-        old_keys = (
-            index.shards_for_terms(affected_terms)
-            .select("bucket", "term", "segment")
-            .distinct()
-        )
+        old_keys = aff_shards.select("bucket", "term", "segment").distinct()
         gone = old_keys.join(
             encoded.select("term", "segment").distinct(),
             ["term", "segment"],
@@ -159,6 +178,7 @@ def apply_dml(
         encoded.unionByName(gone).write.mode("overwrite").parquet(
             str(gen_dir / "shards")
         )
+        aff_shards.unpersist()
 
     # doc_stats delta: every victim not re-added with >=1 token goes
     # to dl=0 (covers plain deletes AND upserts-to-empty-text — the
@@ -172,6 +192,7 @@ def apply_dml(
     gen_dir = base / "gen" / f"gen_{gen:05d}"
     ds_delta.write.mode("overwrite").parquet(str(gen_dir / "doc_stats"))
     new_tok.unpersist()
+    affected_terms_df.unpersist()
 
     # recompute corpus stats over live docs (cheap narrow agg)
     live = _live_doc_stats(spark, base, upto_gen=gen)
@@ -184,7 +205,7 @@ def apply_dml(
     _write_stats(base, stats)
     return {
         "generation": gen,
-        "affected_terms": len(affected_terms),
+        "affected_terms": n_affected,
         "live_docs": stats["n_docs"],
         "avgdl": stats["avgdl"],
     }

@@ -10,7 +10,10 @@ Layout on disk (parquet + JSON bookkeeping):
                                    metrics (postings, bytes, skew),
                                    lineage (input rows, config hash)
 
-Shard row = one (term, segment): segment = pmod(xxhash64(doc_id), S)
+Shard row = one (term, segment): segment = hash_segment(doc_id) — a
+splitmix-style mix of doc_id mod S (the SAME function on the build and
+DML paths; segments must stay a consistent partition of the doc space
+or per-segment WAND would emit split partial scores). It
 splits every hot term's postings across S groups, so no single
 aggregation group ever exceeds ~1/S of the hottest term — the
 explicit skew handling the vanilla groupBy(term) lacks. Segments are
@@ -168,12 +171,25 @@ def _map_docs_to_partials(n_buckets: int, salt_factor: int):
 
 
 def hash_segment(doc_id: int, salt_factor: int) -> int:
-    """Python mirror of pmod(xxhash64(doc_id), salt_factor) is not
-    needed — segments only need to be deterministic and well-spread,
-    so the map-side build uses a splitmix-style mix of doc_id."""
+    """THE segment function: a splitmix-style mix of doc_id mod S.
+    Deterministic and well-spread; every path that writes shard rows
+    (base build AND DML re-encode) must use it so segments remain a
+    consistent partition of the doc space across the index's life."""
     x = (doc_id ^ (doc_id >> 30)) * 0xBF58476D1CE4E5B9 & (2**64 - 1)
     x = (x ^ (x >> 27)) * 0x94D049BB133111EB & (2**64 - 1)
     return (x ^ (x >> 31)) % salt_factor
+
+
+def hash_segment_np(doc_ids, salt_factor: int) -> np.ndarray:
+    """Vectorized hash_segment over an int64 array (bit-identical:
+    numpy's arithmetic >> on int64 + uint64 wraparound reproduce
+    Python's infinite-precision two's-complement semantics mod 2^64,
+    including negative xxhash64-derived doc ids)."""
+    x = np.asarray(doc_ids, dtype=np.int64)
+    y = (x ^ (x >> 30)).astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+    y = (y ^ (y >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    y = y ^ (y >> np.uint64(31))
+    return (y % np.uint64(salt_factor)).astype(np.int32)
 
 
 def _merge_encode_bucket_segment(
@@ -250,20 +266,26 @@ def build_sharded_index(
         schema=_PARTIAL_DDL,
     ).persist()
 
+    from pyspark.sql import Observation
+
     stats_path = base / "stats.json"
     if not (resume and stats_path.exists()):
+        # metrics ride the write action via observe() — no re-read job
+        ds_obs = Observation("doc_stats_metrics")
         doc_stats = raw.filter(F.col("bucket") == -1).select(
             F.explode(F.arrays_zip("doc_ids", "dls")).alias("z")
         ).select(
             F.col("z.doc_ids").alias("doc_id"),
             F.col("z.dls").cast("int").alias("dl"),
+        ).observe(
+            ds_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.avg("dl").alias("avgdl"),
         )
         doc_stats.write.mode("overwrite").parquet(
             str(base / "doc_stats.parquet")
         )
-        row = docs.sparkSession.read.parquet(
-            str(base / "doc_stats.parquet")
-        ).agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+        row = ds_obs.get
         stats = {
             "n_docs": int(row["n"] or 0),
             "avgdl": float(row["avgdl"] or 0.0),
@@ -276,42 +298,29 @@ def build_sharded_index(
         stats = json.loads(stats_path.read_text())
         if stats["config_hash"] != cfg_hash:
             raise ValueError("resume with different config")
+        raw.count()  # materialize the python pass once, pre-threads
 
     partials = raw.filter(F.col("bucket") >= 0)
-
     block_size = config.block_size
-    done_groups = 0
     totals = {"postings": 0, "terms": 0, "bytes": 0, "wall_sec": 0.0}
-    for g in range(bucket_groups):
-        man_path = base / "manifests" / f"group_{g}.json"
-        if resume and man_path.exists():
-            man = json.loads(man_path.read_text())
-            if man.get("status") == "complete" and man.get(
-                "config_hash"
-            ) == cfg_hash:
-                for k in ("postings", "terms", "bytes"):
-                    totals[k] += man["metrics"][k]
-                continue
-        if _fail_after_groups is not None and done_groups >= _fail_after_groups:
-            raise RuntimeError(f"injected failure before group {g}")
 
+    def _build_group(g: int) -> dict:
+        """One bucket group: merge+encode+write with metrics observed
+        during the write (single job), manifest on completion."""
         t0 = time.time()
         part = partials.filter(
             F.pmod(F.col("bucket"), F.lit(bucket_groups)) == g
         )
+        obs = Observation(f"group_{g}_metrics")
         shards = part.groupBy("bucket", "segment").applyInPandas(
             lambda pdf: _merge_encode_bucket_segment(pdf, block_size),
             schema=SHARD_DDL,
-        )
-        gdir = base / "shards" / f"group={g}"
-        shards.write.mode("overwrite").partitionBy("bucket").parquet(
-            str(gdir)
-        )
-
-        written = spark.read.parquet(str(gdir))
-        m = written.agg(
+        ).observe(
+            obs,
             F.sum("df").alias("postings"),
-            F.countDistinct("term").alias("terms"),
+            # observe() forbids distinct aggs; HLL estimate is fine
+            # for a monitoring metric
+            F.approx_count_distinct("term", 0.01).alias("terms"),
             (
                 F.sum(F.length("doc_bytes"))
                 + F.sum(F.length("tf_bytes"))
@@ -319,7 +328,12 @@ def build_sharded_index(
             ).alias("bytes"),
             F.max("df").alias("max_seg_df"),
             F.avg("df").alias("avg_seg_df"),
-        ).collect()[0]
+        )
+        gdir = base / "shards" / f"group={g}"
+        shards.write.mode("overwrite").partitionBy("bucket").parquet(
+            str(gdir)
+        )
+        m = obs.get
         wall = time.time() - t0
         manifest = {
             "group": g,
@@ -341,11 +355,47 @@ def build_sharded_index(
                 "wall_sec": wall,
             },
         }
-        man_path.write_text(json.dumps(manifest, indent=2))
-        done_groups += 1
+        (base / "manifests" / f"group_{g}.json").write_text(
+            json.dumps(manifest, indent=2)
+        )
+        return manifest
+
+    pending: List[int] = []
+    for g in range(bucket_groups):
+        man_path = base / "manifests" / f"group_{g}.json"
+        if resume and man_path.exists():
+            man = json.loads(man_path.read_text())
+            if man.get("status") == "complete" and man.get(
+                "config_hash"
+            ) == cfg_hash:
+                for k in ("postings", "terms", "bytes"):
+                    totals[k] += man["metrics"][k]
+                continue
+        pending.append(g)
+
+    manifests: List[dict] = []
+    if _fail_after_groups is not None:
+        # test hook: deterministic sequential order with injected crash
+        done_groups = 0
+        for g in pending:
+            if done_groups >= _fail_after_groups:
+                raise RuntimeError(f"injected failure before group {g}")
+            manifests.append(_build_group(g))
+            done_groups += 1
+    elif pending:
+        # groups are independent jobs: submit them concurrently so one
+        # group's driver-side tail (task scheduling, manifest write)
+        # overlaps another's compute instead of serializing
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(len(pending), 8)
+        ) as pool:
+            manifests = list(pool.map(_build_group, pending))
+    for manifest in manifests:
         for k in ("postings", "terms", "bytes"):
             totals[k] += manifest["metrics"][k]
-        totals["wall_sec"] += wall
+        totals["wall_sec"] += manifest["metrics"]["wall_sec"]
 
     raw.unpersist()
     return {"groups": bucket_groups, **totals, "n_docs": stats["n_docs"],
@@ -376,16 +426,46 @@ class ShardedIndex:
         the base build: newest (term, segment) row wins, df=0
         tombstones drop out."""
         cfg = self.config
-        n_groups = _groups(self.path)
         buckets = sorted({bucket_of(t, cfg.num_term_buckets) for t in terms})
+        return self._pruned_overlay(
+            buckets, lambda df: df.filter(F.col("term").isin(terms))
+        )
+
+    def shards_for_terms_df(self, terms_df: DataFrame) -> DataFrame:
+        """shards_for_terms with the term set staying DISTRIBUTED (for
+        DML batches whose vocabulary may be large): only the bucket
+        list — bounded by num_term_buckets — reaches the driver for
+        directory pruning; term membership is a broadcast semi join
+        instead of an isin expression tree."""
+        cfg = self.config
+        tb = terms_df.select("term").distinct().withColumn(
+            "bucket",
+            F.pmod(
+                F.crc32(F.encode(F.col("term"), "utf-8")),
+                F.lit(cfg.num_term_buckets),
+            ).cast("int"),
+        )
+        buckets = sorted(
+            r["bucket"] for r in tb.select("bucket").distinct().collect()
+        )
+        if not buckets:
+            return self.spark.createDataFrame([], SHARD_DDL)
+        narrow_terms = F.broadcast(tb.select("term"))
+        return self._pruned_overlay(
+            buckets, lambda df: df.join(narrow_terms, "term", "left_semi")
+        )
+
+    def _pruned_overlay(self, buckets: List[int], narrow) -> DataFrame:
+        """Read base + DML generations for the given buckets, apply the
+        ``narrow`` term filter to every layer, overlay newest-wins per
+        (term, segment), and drop df=0 tombstones."""
+        n_groups = _groups(self.path)
         groups = sorted({b % n_groups for b in buckets})
         paths = [str(self.path / "shards" / f"group={g}") for g in groups]
         df = self.spark.read.option(
             "basePath", str(self.path / "shards")
         ).parquet(*paths)
-        base = df.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        ).select(
+        base = narrow(df.filter(F.col("bucket").isin(buckets))).select(
             "bucket", "term", "segment", "df", "doc_bytes", "tf_bytes",
             "dl_bytes", "blocks", F.lit(0).alias("gen"),
         )
@@ -397,12 +477,11 @@ class ShardedIndex:
                     continue
                 g = int(d.name.split("_")[1])
                 parts.append(
-                    self.spark.read.parquet(str(d / "shards"))
-                    .filter(
-                        F.col("bucket").isin(buckets)
-                        & F.col("term").isin(terms)
-                    )
-                    .select(
+                    narrow(
+                        self.spark.read.parquet(str(d / "shards")).filter(
+                            F.col("bucket").isin(buckets)
+                        )
+                    ).select(
                         "bucket", "term", "segment", "df", "doc_bytes",
                         "tf_bytes", "dl_bytes", "blocks",
                         F.lit(g).alias("gen"),

@@ -24,10 +24,13 @@ Pruning uses a conservative epsilon (skip only when the bound is
 below threshold - 1e-12) so float drift can never drop a true top-k
 member; final ranking is exact on the surviving candidates.
 
-The query-time per-term cap (reference bm25.py:283) is a semantic of
-the *logical* tf-ordered list; the sharded path stores doc-ordered
-segments and implements uncapped scoring — parity corpora are sized
-so the cap never binds (FIXTURES.md §6).
+The posting caps (reference bm25.py:190-191 build, :283 query) are
+semantics of the *logical* tf-ordered list; the sharded path stores
+doc-ordered segments and implements uncapped scoring. This is
+ENFORCED, not assumed: ``search_sharded`` raises when a configured
+cap would actually bind for a queried term, so it can never silently
+diverge from the reference — disable the caps (the at-scale lossless
+mode) or use the logical path when caps matter.
 """
 
 from __future__ import annotations
@@ -272,7 +275,48 @@ def search_sharded(
         qt_data, "query_id long, term string, qtf int"
     )
     shards = index.shards_for_terms(terms)
-    dfs = index.term_dfs(terms)  # (term, df) — small
+
+    # Per-term global df (sum over segments). Collected driver-side —
+    # bounded by the query's term count — both to feed the scorer as a
+    # literal broadcast relation and to ENFORCE the cap contract: the
+    # sharded path stores doc-ordered segments and cannot reproduce the
+    # reference's tf-ordered cap semantics (bm25.py:190-191, :283), so
+    # instead of silently diverging when a hot term exceeds a
+    # configured cap, it refuses.
+    df_rows = (
+        shards.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    )
+    set_caps = [
+        c
+        for c in (cfg.max_postings_per_term, cfg.query_postings_cap)
+        if c is not None
+    ]
+    if set_caps:
+        limit = min(set_caps)
+        hot = sorted(
+            (r["term"], int(r["df"])) for r in df_rows if r["df"] > limit
+        )
+        if hot:
+            raise NotImplementedError(
+                "sharded search cannot reproduce the reference's "
+                "tf-ordered posting caps and these query terms exceed "
+                f"the configured cap ({limit}): {hot[:5]}. Build/query "
+                "with max_postings_per_term=None and "
+                "query_postings_cap=None (the at-scale lossless mode) "
+                "or use the logical path (bm25_score_queries) for "
+                "reference cap semantics."
+            )
+    build_cap = cfg.max_postings_per_term
+    dfs = spark.createDataFrame(
+        [
+            (
+                r["term"],
+                min(int(r["df"]), build_cap) if build_cap else int(r["df"]),
+            )
+            for r in df_rows
+        ],
+        "term string, df long",
+    )
 
     n, avgdl = float(index.n_docs), float(index.avgdl)
 

@@ -198,37 +198,58 @@ def ngram_jaccard_pairs(
 # SimHash                                                             #
 # ------------------------------------------------------------------ #
 
-@pandas_udf(LongType())
-def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow-vectorized).
+def make_simhash64_udf(token_hash: str = "blake2b"):
+    """64-bit SimHash pandas UDF over whitespace tokens.
 
     Charikar's scheme: per token a 64-bit hash votes +-1 per bit;
     the signature's bit i is 1 iff the summed vote is positive. Near-
     identical texts differ in a few bits (compare via Hamming
     distance).
+
+    token_hash selects the per-token 64-bit hash:
+    * 'blake2b' — blake2b(tok, 8 bytes) big-endian (prod default).
+    * 'md5'     — first 8 md5 bytes LITTLE-endian, which is exactly
+      DuckDB's md5_number_upper(tok), so an SQL oracle can reproduce
+      signatures bit-for-bit.
     """
     import hashlib as _h
 
     import numpy as np
 
-    def one(text: str) -> int:
-        if not text:
-            return 0
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in str(text).lower().split():
-            h = np.uint64(
-                int.from_bytes(
-                    _h.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
+    if token_hash == "blake2b":
+        def tok_hash(tok: str) -> int:
+            return int.from_bytes(
+                _h.blake2b(tok.encode(), digest_size=8).digest(), "big"
             )
-            bits = (
-                (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            ).astype(np.int64)
-            votes += 2 * bits - 1
-        sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-        return sig - (1 << 64) if sig >= (1 << 63) else sig
+    elif token_hash == "md5":
+        def tok_hash(tok: str) -> int:
+            return int.from_bytes(_h.md5(tok.encode()).digest()[:8], "little")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
 
-    return texts.map(one)
+    @pandas_udf(LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        def one(text: str) -> int:
+            if not text:
+                return 0
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in str(text).lower().split():
+                h = np.uint64(tok_hash(tok))
+                bits = (
+                    (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int64)
+                votes += 2 * bits - 1
+            sig = int(
+                (
+                    (votes > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)
+                ).sum()
+            )
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        return texts.map(one)
+
+    return simhash64
 
 
 def simhash_near_dups(
@@ -237,17 +258,20 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_tables: int = 4,
+    token_hash: str = "blake2b",
 ) -> DataFrame:
     """-> (id_a, id_b, hamming): pairs within ``max_hamming`` bits.
 
     Blocking: split the 64-bit signature into ``n_tables`` 16-bit
     chunks; by pigeonhole any pair within max_hamming <= n_tables - 1
     shares at least one exact chunk, so a chunk-equality join finds
-    all of them without an all-pairs scan.
+    all of them without an all-pairs scan. (For max_hamming above
+    n_tables - 1 the blocking is a deterministic recall filter — the
+    SQL oracle mirrors it exactly.)
     """
     sigs = df.select(
         F.col(id_col).alias("id"),
-        simhash64_udf(F.col(text_col)).alias("sig"),
+        make_simhash64_udf(token_hash)(F.col(text_col)).alias("sig"),
     )
     width = 64 // n_tables
     chunked = sigs.select(

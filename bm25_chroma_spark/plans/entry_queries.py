@@ -257,6 +257,11 @@ _ORACLES["bm25_topk"] = _bm25_oracle()
 MINHASH_K = 8
 SHINGLE_K = 3
 JACCARD_T = 0.8
+LSH_HASHES = 32   # MinHash-LSH banding params for the contract
+LSH_BANDS = 16
+LSH_RPB = LSH_HASHES // LSH_BANDS
+SIMHASH_HAMMING = 8
+SIMHASH_TABLES = 4
 KNN_QUERY_IDS = [3, 77]  # query vectors = these embeddings rows
 KNN_K = 10
 
@@ -285,17 +290,20 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bm25_chroma_spark.operators.dedup import ngram_jaccard_pairs
+    """Exact shingle-Jaccard scored ONLY on MinHash-LSH candidates —
+    the scale-safe shape (no all-pairs crossJoin anywhere); the DuckDB
+    oracle mirrors the banding exactly."""
+    from bm25_chroma_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
 
     docs = _load_docs(spark, sf_dir)
-    ids = docs.select(F.col("doc_id").alias("id"))
-    all_pairs = (
-        ids.withColumnRenamed("id", "id_a")
-        .crossJoin(ids.withColumnRenamed("id", "id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=LSH_HASHES, bands=LSH_BANDS, shingle_k=SHINGLE_K
     )
     out = ngram_jaccard_pairs(
-        docs, pairs=all_pairs, shingle_k=SHINGLE_K, threshold=JACCARD_T
+        docs, pairs=cand, shingle_k=SHINGLE_K, threshold=JACCARD_T
     )
     return out.select(
         "id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard")
@@ -303,21 +311,31 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding candidates (rows-only driver check; the
-    jaccard superset property is pinned by tests/test_dedup_text.py)."""
+    """MinHash-LSH banding candidates (md5 signatures + sha256 band
+    hashes — both DuckDB-reproducible, so the oracle is exact)."""
     from bm25_chroma_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _load_docs(spark, sf_dir), num_hashes=32, bands=16,
+        _load_docs(spark, sf_dir), num_hashes=LSH_HASHES, bands=LSH_BANDS,
         shingle_k=SHINGLE_K,
     )
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (rows-only: blake2b has no SQL equivalent)."""
+    """SimHash near-dups with the md5 token hash (== DuckDB
+    md5_number_upper), so signatures — and therefore the chunk
+    blocking and hamming distances — are SQL-reproducible."""
     from bm25_chroma_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_load_docs(spark, sf_dir), max_hamming=8)
+    out = simhash_near_dups(
+        _load_docs(spark, sf_dir),
+        max_hamming=SIMHASH_HAMMING,
+        n_tables=SIMHASH_TABLES,
+        token_hash="md5",
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,15 +468,85 @@ CROSS JOIN range(0, {MINHASH_K}) AS t(h)
 GROUP BY doc_id, h
 """
 
+# MinHash-LSH banding, mirrored bit-for-bit: md5(i||':'||shingle)
+# signatures, sha256 over '|'-joined per-band slices, pairs via
+# (band, band_hash) equality. Depends on the `sh` CTE (_SQL_SHINGLES).
+_SQL_LSH_CAND = f"""
+hs AS (SELECT doc_id, h, min(md5(concat(h, ':', s))) AS msig
+       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+       CROSS JOIN range(0, {LSH_HASHES}) AS t(h)
+       GROUP BY doc_id, h),
+sigarr AS (SELECT doc_id, list(msig ORDER BY h) AS sig
+           FROM hs GROUP BY doc_id),
+bands AS (SELECT doc_id, b.b AS band,
+                 sha256(array_to_string(
+                   sig[b.b*{LSH_RPB}+1 : b.b*{LSH_RPB}+{LSH_RPB}], '|'
+                 )) AS band_hash
+          FROM sigarr CROSS JOIN range(0, {LSH_BANDS}) AS b(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         FROM bands a JOIN bands c
+         ON a.band = c.band AND a.band_hash = c.band_hash
+            AND a.doc_id < c.doc_id)
+"""
+
+_ORACLES["lsh_candidates"] = f"""
+WITH {_SQL_SHINGLES}, {_SQL_LSH_CAND}
+SELECT id_a, id_b FROM cand
+"""
+
 _ORACLES["jaccard_pairs"] = f"""
-WITH {_SQL_SHINGLES}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+WITH {_SQL_SHINGLES}, {_SQL_LSH_CAND}
+SELECT cand.id_a, cand.id_b,
        round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
              / len(list_distinct(a.shingles || b.shingles)), {ROUND})
          AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM cand
+JOIN sh a ON a.doc_id = cand.id_a
+JOIN sh b ON b.doc_id = cand.id_b
 WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
       / len(list_distinct(a.shingles || b.shingles)) >= {JACCARD_T}
+"""
+
+# SimHash with the md5 token hash: md5_number_upper(tok) IS the
+# little-endian first-8-bytes md5 the Spark UDF uses; votes, chunk
+# blocking (4 x 16-bit) and hamming all reproduced in SQL.
+_ORACLES["simhash_dups"] = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(words) AS tok FROM w),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (md5_number_upper(tok) >> b.bit) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN range(0, 64) AS b(bit)
+  WHERE tok <> ''
+  GROUP BY doc_id, b.bit
+),
+sig0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit)
+                  ELSE 0::UBIGINT END)::UBIGINT AS sig
+  FROM votes GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, sig, t.t AS tbl,
+         (sig >> (t.t * 16)) & 65535 AS chunk
+  FROM sig CROSS JOIN range(0, {SIMHASH_TABLES}) AS t(t)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM chunks a JOIN chunks b
+  ON a.tbl = b.tbl AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAMMING}
 """
 
 _SW = {

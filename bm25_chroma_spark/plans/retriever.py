@@ -178,17 +178,22 @@ class SparkHybridRetriever:
 
         # old versions of re-added ids: their stored text defines the
         # affected terms of the implicit remove (reference re-tokenizes
-        # chunk_texts on removal, bm25.py:238-249)
+        # chunk_texts on removal, bm25.py:238-249). Snapshot to parquet
+        # BEFORE the new generation lands — a persist() could be
+        # evicted and lazily recompute over the mutated corpus.
         old_versions = None
         if self._index is not None:
-            old_versions = (
+            prior = (
                 self.corpus_df()
                 .filter(F.col("doc_uid").isin(doc_ids))
                 .select(
                     _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
                 )
-            ).persist()
-            old_versions.count()  # pin before the new generation lands
+            )
+            if not prior.isEmpty():
+                snap = self.state / "tmp" / "old_versions.parquet"
+                prior.write.mode("overwrite").parquet(str(snap))
+                old_versions = self.spark.read.parquet(str(snap))
 
         batch = self.spark.createDataFrame(
             list(zip(doc_ids, documents)), "doc_uid string, text string"
@@ -221,8 +226,6 @@ class SparkHybridRetriever:
                 delete_docs=old_versions,
             )
             self._index.refresh()
-        if old_versions is not None:
-            old_versions.unpersist()
 
         total = time.time() - t0
         return {
@@ -260,9 +263,14 @@ class SparkHybridRetriever:
 
     def get_preprocessing_info(self) -> Dict:
         """Tokenizer capability report (reference bm25.py:312-329);
-        lemmatization is pinned off — the deterministic fallback path."""
+        lemmatization defaults off (deterministic path) but the probe
+        reports whether the NLTK chain could be enabled."""
+        from bm25_chroma_spark.functions.tokenizer import (
+            lemmatization_available,
+        )
+
         return {
-            "lemmatization_available": False,
+            "lemmatization_available": lemmatization_available(),
             "features": [
                 "Strips punctuation while preserving alphanumeric",
                 "Converts to lowercase",
@@ -285,18 +293,18 @@ class SparkHybridRetriever:
         self.remove_documents_batch([doc_id])
 
     def remove_documents_batch(self, doc_ids: List[str]) -> None:
+        """Victims never leave the cluster: the matched rows are
+        written straight to the tombstone generation, which is then
+        read back (a pinned snapshot) to drive the index DML — no
+        driver-side row list, so bulk deletes scale."""
         victims = self.corpus_df().filter(F.col("doc_uid").isin(doc_ids))
-        vrows = victims.collect()  # DML batches are small by contract
-        if not vrows:
+        if victims.isEmpty():
             return  # unknown ids no-op (reference bm25.py:229-230)
-        self.spark.createDataFrame(
-            [(r["doc_uid"], r["text"], True) for r in vrows],
-            "doc_uid string, text string, deleted boolean",
-        ).write.mode("overwrite").parquet(str(self._next_gen("corpus")))
-        delete_df = self.spark.createDataFrame(
-            [(r["doc_uid"], r["text"]) for r in vrows],
-            "doc_uid string, text string",
-        ).select(
+        gen_path = self._next_gen("corpus")
+        victims.withColumn("deleted", F.lit(True)).write.mode(
+            "overwrite"
+        ).parquet(str(gen_path))
+        delete_df = self.spark.read.parquet(str(gen_path)).select(
             _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
         )
         apply_dml(
@@ -414,25 +422,70 @@ class SparkHybridRetriever:
             for uid, score in fused
         ]
 
+    def _bm25_lists(
+        self, query_texts: List[str], top_k: int
+    ) -> List[List[Tuple[str, float]]]:
+        """BM25 leg for ALL queries in one search_sharded call."""
+        out: List[List[Tuple[str, float]]] = [[] for _ in query_texts]
+        if self._index is None:
+            return out
+        qdf = self.spark.createDataFrame(
+            list(enumerate(query_texts)), "query_id long, query_text string"
+        )
+        res = search_sharded(self._index, qdf, top_k=top_k)
+        rows = res.join(self._uid_map(), "doc_id").select(
+            "query_id", "doc_uid", "score", "rank"
+        ).collect()
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            out[r["query_id"]].append((r["doc_uid"], r["score"]))
+        return out
+
+    def _vector_lists(
+        self, query_texts: List[str], top_k: int
+    ) -> List[List[Tuple[str, float]]]:
+        """Vector leg for ALL queries in one knn_bruteforce call."""
+        out: List[List[Tuple[str, float]]] = [[] for _ in query_texts]
+        vecs = self.vectors_df()
+        if vecs.isEmpty():
+            return out
+        from bm25_chroma_spark.operators.knn import knn_bruteforce
+
+        res = knn_bruteforce(
+            vecs.withColumn("vec_id", _doc_id_expr(F.col("doc_uid"))),
+            self.embed(query_texts),
+            k=top_k,
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+        uid = self._uid_map().withColumnRenamed("doc_id", "vec_id")
+        rows = res.join(uid, "vec_id").select(
+            "query_id", "doc_uid", "sim", "rank"
+        ).collect()
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            out[r["query_id"]].append((r["doc_uid"], r["sim"]))
+        return out
+
     def query(self, query_texts, n_results: int, include=None, **kwargs
               ) -> Dict:
         """ChromaDB-compatible facade (reference
         hybrid_retriever.py:379-428). Ratio pinned to 0.5 regardless
-        of kwargs — the reference accepts-and-ignores them."""
+        of kwargs — the reference accepts-and-ignores them.
+
+        Batched: one Spark job set per call regardless of
+        len(query_texts) (all queries ride one search_sharded and one
+        knn_bruteforce); per-query RRF runs driver-side on the tiny
+        collected top-2k lists. Embeddings are fetched ONLY when
+        requested via ``include``, and only for the fused top-k uids —
+        never a full-table collect."""
         if not isinstance(query_texts, list):
             query_texts = [query_texts]
         include = include or ["documents", "metadatas", "distances"]
 
-        all_ids, all_docs, all_metas, all_dists, all_embeds = (
-            [], [], [], [], [],
-        )
-        vec_map = {
-            r["doc_uid"]: r["embedding"]
-            for r in self.vectors_df().collect()
-        }
-        for q in query_texts:
-            bm25_results = self.search_bm25(q, top_k=n_results * 2)
-            vector_results = self.search_vector(q, top_k=n_results * 2)
+        bm25_lists = self._bm25_lists(query_texts, n_results * 2)
+        vector_lists = self._vector_lists(query_texts, n_results * 2)
+
+        fused_all: List[List[Tuple[str, float]]] = []
+        for bm25_results, vector_results in zip(bm25_lists, vector_lists):
             if bm25_results and vector_results:
                 fused = rrf_fuse_py(
                     [bm25_results, vector_results],
@@ -444,13 +497,29 @@ class SparkHybridRetriever:
                 fused = bm25_results[:n_results]
             else:
                 fused = vector_results[:n_results]
-            uids = [u for u, _ in fused]
-            texts = {
-                r["doc_uid"]: r["text"]
-                for r in self.corpus_df()
-                .filter(F.col("doc_uid").isin(uids))
+            fused_all.append(fused)
+
+        all_uids = sorted({u for fused in fused_all for u, _ in fused})
+        texts = {
+            r["doc_uid"]: r["text"]
+            for r in self.corpus_df()
+            .filter(F.col("doc_uid").isin(all_uids))
+            .collect()
+        }
+        vec_map: Dict[str, list] = {}
+        if "embeddings" in include and all_uids:
+            vec_map = {
+                r["doc_uid"]: r["embedding"]
+                for r in self.vectors_df()
+                .filter(F.col("doc_uid").isin(all_uids))
                 .collect()
             }
+
+        all_ids, all_docs, all_metas, all_dists, all_embeds = (
+            [], [], [], [], [],
+        )
+        for fused in fused_all:
+            uids = [u for u, _ in fused]
             all_ids.append(uids)
             all_docs.append([texts.get(u, "") for u in uids])
             all_metas.append([{"document_id": u} for u in uids])

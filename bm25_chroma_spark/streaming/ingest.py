@@ -36,11 +36,23 @@ def stream_index_ingest(
     """File-source streaming ingest: every new parquet file under
     ``source_dir`` becomes a micro-batch that upserts into the sharded
     index. Restart-safe via the streaming checkpoint (batch replay is
-    idempotent: apply_dml rewrites the same generation content).
+    idempotent: each batch's docs snapshot is keyed by batch_id and
+    apply_dml rewrites the same generation content).
+
+    Upserts are COMPLETE remove-then-add: the handler keeps a docs
+    store under ``<index_dir>/stream_docs`` (one parquet per batch,
+    newest batch wins per doc_id) and passes each re-ingested id's
+    PRIOR text to apply_dml as delete_docs — so terms that existed
+    only in the previous version are purged too (the reference
+    re-tokenizes stored chunk_texts on removal, bm25.py:238-249).
 
     Returns the StreamingQuery (caller awaits/stops; tests use
     trigger(availableNow=True)).
     """
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
     from bm25_chroma_spark.config import BM25Config
     from bm25_chroma_spark.index.dml import apply_dml
     from bm25_chroma_spark.index.shards import build_sharded_index
@@ -57,18 +69,55 @@ def stream_index_ingest(
         )
     )
 
-    from pathlib import Path
+    docs_root = Path(index_dir) / "stream_docs"
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        docs_root.mkdir(parents=True, exist_ok=True)
+        # snapshot the batch (idempotent on replay: keyed by batch_id)
+        snap = docs_root / f"batch_{batch_id:09d}.parquet"
+        batch_df.write.mode("overwrite").parquet(str(snap))
+        pinned = spark.read.parquet(str(snap))
+
         if not (Path(index_dir) / "stats.json").exists():
             build_sharded_index(
-                batch_df, index_dir, config=cfg,
+                pinned, index_dir, config=cfg,
                 bucket_groups=bucket_groups,
             )
-        else:
-            apply_dml(spark, index_dir, upserts=batch_df)
+            return
+
+        # prior versions of re-ingested ids (newest earlier batch wins)
+        prior_files = sorted(
+            p for p in docs_root.glob("batch_*.parquet")
+            if int(p.stem.split("_")[1]) < batch_id
+        )
+        old_versions = None
+        if prior_files:
+            parts = [
+                spark.read.parquet(str(p)).withColumn(
+                    "b", F.lit(int(p.stem.split("_")[1]))
+                )
+                for p in prior_files
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            w = Window.partitionBy("doc_id").orderBy(F.desc("b"))
+            old_versions = (
+                u.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", "text")
+                .join(
+                    F.broadcast(pinned.select("doc_id")), "doc_id",
+                    "left_semi",
+                )
+            )
+            if old_versions.isEmpty():
+                old_versions = None
+        apply_dml(
+            spark, index_dir, upserts=pinned, delete_docs=old_versions
+        )
 
     return (
         stream.writeStream.foreachBatch(handle_batch)

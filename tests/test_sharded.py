@@ -13,6 +13,7 @@ import math
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from bm25_chroma_spark.config import BM25Config
 from bm25_chroma_spark.index.shards import (
@@ -135,6 +136,114 @@ def test_wand_matches_exhaustive(spark, shard_dir, queries_df):
         assert math.isclose(e[k][1], w[k][1], rel_tol=1e-9), k
 
 
+def test_hash_segment_np_matches_python():
+    """Vectorized segment hash is bit-identical to the scalar one,
+    including the negative (xxhash64-style) doc-id range."""
+    import random
+
+    import numpy as np
+
+    from bm25_chroma_spark.index.shards import hash_segment, hash_segment_np
+
+    rng = random.Random(13)
+    ids = [rng.randint(-(2**63), 2**63 - 1) for _ in range(2000)]
+    ids += [0, 1, -1, 2**63 - 1, -(2**63)]
+    got = hash_segment_np(np.array(ids, dtype=np.int64), 4)
+    want = [hash_segment(i, 4) for i in ids]
+    assert got.tolist() == want
+
+
+def test_wand_matches_exhaustive_after_dml(
+    spark, docs_df, queries_df, tmp_path_factory
+):
+    """Regression: DML re-encode must assign segments with the SAME
+    hash as the base build, or per-segment WAND emits duplicate
+    doc_ids with split partial scores (round-1 advisor repro:
+    exhaustive 25 rows vs wand 28)."""
+    import math as _m
+
+    from bm25_chroma_spark.index.dml import apply_dml
+
+    out = str(tmp_path_factory.mktemp("index") / "dml_wand_v1")
+    build_sharded_index(docs_df, out, config=CFG, bucket_groups=2)
+
+    # upsert modified versions of existing docs (old text passed as
+    # delete_docs, the remove-then-add contract) + delete a few
+    rows = docs_df.orderBy("doc_id").limit(30).collect()
+    old = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (r["doc_id"], r["text"] + " import merge batch")
+            for r in rows[:20]
+        ],
+        "doc_id long, text string",
+    )
+    apply_dml(spark, out, upserts=new, delete_docs=old)
+
+    idx = ShardedIndex(spark, out)
+    ex = search_sharded(idx, queries_df, top_k=25, strategy="exhaustive")
+    wd = search_sharded(idx, queries_df, top_k=25, strategy="wand")
+    e = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in ex.collect()
+    }
+    w = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in wd.collect()
+    }
+    assert set(e) == set(w)
+    for k in e:
+        assert e[k][0] == w[k][0], (k, e[k], w[k])
+        assert _m.isclose(e[k][1], w[k][1], rel_tol=1e-9), k
+    # no duplicate doc per query in the WAND result
+    for qid in {q for q, _ in w}:
+        docs = [d for (q, _), (d, _) in w.items() if q == qid]
+        assert len(docs) == len(set(docs))
+
+
+def test_bulk_delete_dataframe_native(spark, tmp_path_factory):
+    """A large delete batch flows through apply_dml as DataFrames —
+    no victim-id list on the driver — and the index ends up exactly
+    equal to a fresh build over the survivors."""
+    from bm25_chroma_spark.index.dml import apply_dml
+
+    # lossless config: at 1200 docs hot terms exceed the reference's
+    # 1000-posting query cap, which the sharded path refuses to
+    # silently approximate
+    from dataclasses import replace
+
+    cfg = replace(CFG, max_postings_per_term=None, query_postings_cap=None)
+    rows = synth_corpus_rows(1200, seed=23)
+    all_docs = spark.createDataFrame(
+        [(i, r[4]) for i, r in enumerate(rows)], "doc_id long, text string"
+    )
+    out = str(tmp_path_factory.mktemp("index") / "bulk_v1")
+    build_sharded_index(all_docs, out, config=cfg, bucket_groups=2)
+
+    victims = all_docs.filter(F.col("doc_id") % 3 == 0)  # ~400 docs
+    res = apply_dml(spark, out, delete_docs=victims)
+    assert res["live_docs"] == 1200 - 400
+
+    survivors = all_docs.filter(F.col("doc_id") % 3 != 0)
+    clean = str(tmp_path_factory.mktemp("index") / "bulk_clean_v1")
+    build_sharded_index(survivors, clean, config=cfg, bucket_groups=2)
+
+    queries = spark.createDataFrame(
+        reference_query_set(), "query_id long, query_text string"
+    )
+    got = search_sharded(
+        ShardedIndex(spark, out), queries, top_k=20
+    ).collect()
+    want = search_sharded(
+        ShardedIndex(spark, clean), queries, top_k=20
+    ).collect()
+    g = {(r["query_id"], r["rank"]): r["doc_id"] for r in got}
+    v = {(r["query_id"], r["rank"]): r["doc_id"] for r in want}
+    assert g == v
+
+
 def test_resume_after_crash(spark, docs_df, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("index") / "resume_v1")
     with pytest.raises(RuntimeError, match="injected failure"):
@@ -172,6 +281,27 @@ def test_resume_after_crash(spark, docs_df, tmp_path_factory):
 
     assert snapshot(out) == snapshot(clean)
     assert metrics["postings"] > 0
+
+
+def test_sharded_refuses_binding_caps(spark, tmp_path_factory):
+    """The sharded path cannot reproduce tf-ordered cap semantics —
+    it must raise (not silently diverge) when a configured cap binds
+    for a queried term."""
+    from dataclasses import replace
+
+    docs = spark.createDataFrame(
+        [(i, "hot common word") for i in range(12)],
+        "doc_id long, text string",
+    )
+    cfg = replace(CFG, max_postings_per_term=5, query_postings_cap=None)
+    out = str(tmp_path_factory.mktemp("index") / "capguard_v1")
+    build_sharded_index(docs, out, config=cfg, bucket_groups=1)
+    idx = ShardedIndex(spark, out)
+    q = spark.createDataFrame(
+        [(1, "hot")], "query_id long, query_text string"
+    )
+    with pytest.raises(NotImplementedError, match="cap"):
+        search_sharded(idx, q, top_k=5).collect()
 
 
 def test_resume_rejects_config_change(spark, docs_df, tmp_path_factory):

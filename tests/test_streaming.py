@@ -74,6 +74,53 @@ def test_stream_ingest_equals_batch_build(spark, tmp_path):
     assert a == b
 
 
+def test_stream_upsert_purges_old_only_terms(spark, tmp_path):
+    """Regression (round-1 advisor): a streamed upsert that REPLACES a
+    doc's text must purge postings of terms that existed only in the
+    old version — the handler passes prior versions as delete_docs."""
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    v1 = [(1, "zebra quagga okapi unique"), (2, "common shared words here")]
+    spark.createDataFrame(v1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "s0"))
+    import shutil
+
+    for n, p in enumerate(sorted((tmp_path / "s0").rglob("*.parquet"))):
+        shutil.copy(p, flat / f"f0_{n}.parquet")
+
+    idx_dir = str(tmp_path / "upsert_index")
+    q = stream_index_ingest(
+        spark, str(flat), idx_dir, str(tmp_path / "ck1"), config=CFG
+    )
+    q.awaitTermination(120)
+
+    # doc 1 re-ingested with fully DISJOINT vocabulary
+    v2 = [(1, "totally different replacement text")]
+    spark.createDataFrame(v2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "s1"))
+    for n, p in enumerate(sorted((tmp_path / "s1").rglob("*.parquet"))):
+        shutil.copy(p, flat / f"f1_{n}.parquet")
+    q = stream_index_ingest(
+        spark, str(flat), idx_dir, str(tmp_path / "ck1"), config=CFG
+    )
+    q.awaitTermination(120)
+
+    idx = ShardedIndex(spark, idx_dir)
+    assert idx.n_docs == 2  # still two live docs
+
+    def hits(text):
+        qdf = spark.createDataFrame(
+            [(1, text)], "query_id long, query_text string"
+        )
+        return {r["doc_id"] for r in search_sharded(idx, qdf, top_k=5).collect()}
+
+    assert hits("zebra quagga") == set()        # old-only terms gone
+    assert hits("replacement text") == {1}      # new terms live
+    assert hits("common shared") == {2}         # untouched doc intact
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     want = {

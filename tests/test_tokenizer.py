@@ -89,3 +89,81 @@ def test_jvm_expr_matches_python_on_ascii(spark):
     }
     for i, text in enumerate(ascii_cases):
         assert got[i] == tokenize_py(text), text
+
+
+class _StubWordnet:
+    ADJ, VERB, NOUN, ADV = "a", "v", "n", "r"
+
+
+class _StubNltk:
+    """Deterministic stand-in for nltk.pos_tag: verbs end in 'ing'."""
+
+    @staticmethod
+    def pos_tag(tokens):
+        return [
+            (t, "VBG" if t.endswith("ing") else "NN") for t in tokens
+        ]
+
+
+class _StubLemmatizer:
+    def lemmatize(self, token, pos="n"):
+        if pos == "v" and token.endswith("ing"):
+            return token[:-3]
+        return token.rstrip("s") or token
+
+
+def test_lemmatize_flag_off_is_identity():
+    """Default path must stay byte-identical to the reference's
+    non-NLTK tokenizer regardless of what is installed."""
+    for text in CASES:
+        assert tokenize_py(text) == tokenize_py(text, lemmatize=False)
+
+
+def test_lemmatize_flag_with_stub(monkeypatch):
+    """Flag-on path exercises the reference fallback chain
+    (bm25.py:101-131) with a stub: POS-aware lemmatize, digit
+    passthrough."""
+    from bm25_chroma_spark.functions import tokenizer as tok
+
+    monkeypatch.setattr(
+        tok, "_NLTK_STATE", (_StubNltk, _StubLemmatizer(), _StubWordnet)
+    )
+    got = tok.tokenize_py("Running cats P123 spark 42", lemmatize=True)
+    # 'running' -> VBG -> 'runn'; 'cats' -> NN -> 'cat';
+    # digit-containing tokens pass through unchanged
+    assert got == ["runn", "cat", "p123", "spark", "42"]
+    assert tok.lemmatization_available()
+
+
+def test_lemmatize_fallback_chain(monkeypatch):
+    """pos_tag raising falls back to plain lemmatize; both raising
+    falls back to the original tokens — the 3-level chain."""
+    from bm25_chroma_spark.functions import tokenizer as tok
+
+    class _BoomNltk:
+        @staticmethod
+        def pos_tag(tokens):
+            raise RuntimeError("no tagger data")
+
+    monkeypatch.setattr(
+        tok, "_NLTK_STATE", (_BoomNltk, _StubLemmatizer(), _StubWordnet)
+    )
+    assert tok.tokenize_py("cats dogs", lemmatize=True) == ["cat", "dog"]
+
+    class _BoomLemmatizer:
+        def lemmatize(self, token, pos="n"):
+            raise RuntimeError("no wordnet data")
+
+    monkeypatch.setattr(
+        tok, "_NLTK_STATE", (_BoomNltk, _BoomLemmatizer(), _StubWordnet)
+    )
+    assert tok.tokenize_py("cats dogs", lemmatize=True) == ["cats", "dogs"]
+
+
+def test_lemmatize_noop_without_nltk(monkeypatch):
+    from bm25_chroma_spark.functions import tokenizer as tok
+
+    monkeypatch.setattr(tok, "_NLTK_STATE", False)
+    assert not tok.lemmatization_available()
+    for text in CASES:
+        assert tok.tokenize_py(text, lemmatize=True) == tok.tokenize_py(text)
