@@ -9,6 +9,13 @@ Layout on disk (parquet + JSON bookkeeping):
   <dir>/manifests/group_G.json     per-group checkpoint: status,
                                    metrics (postings, bytes, skew),
                                    lineage (input rows, config hash)
+  <dir>/partials.parquet           transient: the tokenize pass's
+                                   materialized output (one python
+                                   pass ever); group jobs read it
+                                   bucket-pruned, crash-resume reuses
+                                   it, dropped when all groups
+                                   complete (manifests/partials.json
+                                   gates reuse on config hash)
 
 Shard row = one (term, segment): segment = hash_segment(doc_id) — a
 splitmix-style mix of doc_id mod S (the SAME function on the build and
@@ -250,26 +257,81 @@ def build_sharded_index(
     spark = docs.sparkSession
     cfg_hash = _config_hash(config)
 
-    # ONE python pass over the corpus: tokenize + tf + map-side
-    # partial postings per (term, segment), with doc-stat sentinel
-    # rows in the same output. The wide shuffle then moves ~1 row per
-    # (partition, term, segment) carrying packed arrays — two orders
-    # of magnitude fewer rows than exploding per token occurrence,
-    # each term string once per partition. Bucket uses crc32 (Python
-    # zlib.crc32 matches, so the driver can prune buckets for query
-    # terms without a JVM round-trip).
-    raw = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("text"),
-    ).mapInPandas(
-        _map_docs_to_partials(config.num_term_buckets, config.salt_factor),
-        schema=_PARTIAL_DDL,
-    ).persist()
-
     from pyspark.sql import Observation
 
     stats_path = base / "stats.json"
-    if not (resume and stats_path.exists()):
+    if resume and stats_path.exists():
+        stats = json.loads(stats_path.read_text())
+        if stats["config_hash"] != cfg_hash:
+            raise ValueError("resume with different config")
+        need_stats = False
+    else:
+        stats = None
+        need_stats = True
+
+    # which groups still need building (decided up front so a fully
+    # complete resume touches no data at all)
+    totals = {"postings": 0, "terms": 0, "bytes": 0, "wall_sec": 0.0}
+    pending: List[int] = []
+    for g in range(bucket_groups):
+        man_path = base / "manifests" / f"group_{g}.json"
+        if resume and man_path.exists():
+            man = json.loads(man_path.read_text())
+            if man.get("status") == "complete" and man.get(
+                "config_hash"
+            ) == cfg_hash:
+                for k in ("postings", "terms", "bytes"):
+                    totals[k] += man["metrics"][k]
+                continue
+        pending.append(g)
+
+    # ONE python pass over the corpus: tokenize + tf + map-side
+    # partial postings per (term, segment), with doc-stat sentinel
+    # rows in the same output. The pass is MATERIALIZED to a partials
+    # table (bucket-sorted within partitions for row-group pruning)
+    # rather than cached: at 10^12-file scale the partials dataset is
+    # corpus-sized — a cache is a non-starter, a compressed columnar
+    # table is exactly what downstream group jobs (bucket-pruned
+    # reads) and crash-resume (tokenize never re-runs) want. The wide
+    # shuffle after it moves ~1 row per (partition, term, segment)
+    # carrying packed arrays — two orders of magnitude fewer rows
+    # than exploding per token occurrence. Bucket uses crc32 (Python
+    # zlib.crc32 matches, so the driver can prune buckets for query
+    # terms without a JVM round-trip).
+    part_dir = base / "partials.parquet"
+    pman_path = base / "manifests" / "partials.json"
+    need_partials = bool(pending) or need_stats
+
+    def _partials_reusable() -> bool:
+        # bucket/salt assignment is baked into the partials rows — a
+        # config change invalidates them even when stats.json never
+        # got written (crash between the two)
+        if not (resume and (part_dir / "_SUCCESS").exists()):
+            return False
+        if not pman_path.exists():
+            return False
+        return json.loads(
+            pman_path.read_text()
+        ).get("config_hash") == cfg_hash
+
+    if need_partials and not _partials_reusable():
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).mapInPandas(
+            _map_docs_to_partials(
+                config.num_term_buckets, config.salt_factor
+            ),
+            schema=_PARTIAL_DDL,
+        ).sortWithinPartitions("bucket").write.mode("overwrite").parquet(
+            str(part_dir)
+        )
+        pman_path.write_text(
+            json.dumps({"status": "complete", "config_hash": cfg_hash})
+        )
+    raw = spark.read.parquet(str(part_dir)) if need_partials else None
+
+    if need_stats:
         # metrics ride the write action via observe() — no re-read job
         ds_obs = Observation("doc_stats_metrics")
         doc_stats = raw.filter(F.col("bucket") == -1).select(
@@ -294,15 +356,11 @@ def build_sharded_index(
             "built_at": time.time(),
         }
         stats_path.write_text(json.dumps(stats, indent=2))
-    else:
-        stats = json.loads(stats_path.read_text())
-        if stats["config_hash"] != cfg_hash:
-            raise ValueError("resume with different config")
-        raw.count()  # materialize the python pass once, pre-threads
 
-    partials = raw.filter(F.col("bucket") >= 0)
+    partials = (
+        raw.filter(F.col("bucket") >= 0) if raw is not None else None
+    )
     block_size = config.block_size
-    totals = {"postings": 0, "terms": 0, "bytes": 0, "wall_sec": 0.0}
 
     def _build_group(g: int) -> dict:
         """One bucket group: merge+encode+write with metrics observed
@@ -360,19 +418,6 @@ def build_sharded_index(
         )
         return manifest
 
-    pending: List[int] = []
-    for g in range(bucket_groups):
-        man_path = base / "manifests" / f"group_{g}.json"
-        if resume and man_path.exists():
-            man = json.loads(man_path.read_text())
-            if man.get("status") == "complete" and man.get(
-                "config_hash"
-            ) == cfg_hash:
-                for k in ("postings", "terms", "bytes"):
-                    totals[k] += man["metrics"][k]
-                continue
-        pending.append(g)
-
     manifests: List[dict] = []
     if _fail_after_groups is not None:
         # test hook: deterministic sequential order with injected crash
@@ -397,7 +442,16 @@ def build_sharded_index(
             totals[k] += manifest["metrics"][k]
         totals["wall_sec"] += manifest["metrics"]["wall_sec"]
 
-    raw.unpersist()
+    # all groups complete -> the partials table has served its purpose
+    # (it exists for group fan-out and crash-resume); drop it
+    import shutil as _shutil
+
+    all_complete = all(
+        (base / "manifests" / f"group_{g}.json").exists()
+        for g in range(bucket_groups)
+    )
+    if all_complete and part_dir.exists():
+        _shutil.rmtree(part_dir, ignore_errors=True)
     return {"groups": bucket_groups, **totals, "n_docs": stats["n_docs"],
             "avgdl": stats["avgdl"]}
 

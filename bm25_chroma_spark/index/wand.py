@@ -14,11 +14,18 @@ Two strategies, property-tested to produce identical top-k:
   cannot beat the running threshold.
 
 Strategy guidance: ``exhaustive`` (default) is vectorized end-to-end
-and wins when query terms are hot and score distributions flat (the
-synthetic fixture's worst case for pruning). ``wand`` wins when
-upper bounds discriminate — selective terms, skewed tf/dl, small k
-over long tails — and bounds worst-case work when a per-term query
-cap is unacceptable. Both are exact (property-tested identical).
+and wins whenever block skipping cannot engage — which, measured
+honestly, is EVERY regime reachable at sandbox corpus sizes (BENCH
+'wand_regime' case publishes the numbers): an anchor selective
+enough to fill the top-k still lands in every 128-posting hot block
+at 100k docs, so WAND decodes what exhaustive decodes plus DAAT
+overhead. ``wand`` is the 10^9-doc-regime path, where a top-k-filling
+anchor IS sparser than one-per-hot-block (df_anchor x block_size <<
+df_hot) and skipping prunes most of the hot lists; it also bounds
+worst-case work when a per-term query cap is unacceptable. Both are
+exact (property-tested identical). ``auto`` applies that
+skip-engagement rule per call from driver-side df stats
+(_auto_strategy).
 
 Pruning uses a conservative epsilon (skip only when the bound is
 below threshold - 1e-12) so float drift can never drop a true top-k
@@ -236,6 +243,66 @@ def _bmw_topk(cursors: List[_Cursor], top_k: int) -> List[tuple]:
     return out
 
 
+def _auto_strategy(
+    qt_data: List[tuple],
+    df_by_term: dict,
+    n: float,
+    top_k: int,
+    block_size: int,
+) -> str:
+    """Pick wand vs exhaustive from driver-side stats only (per-term
+    df; no data touched).
+
+    WAND beats the vectorized exhaustive scan only when block
+    skipping mathematically ENGAGES: a high-idf ANCHOR term must
+    (a) dominate the score (bounds discriminate), (b) have enough
+    postings to fill the top-k by itself, and (c) be sparser than one
+    posting per hot-term block — ``df_anchor * block_size <
+    df_hot`` — otherwise every hot block contains an anchor doc and
+    WAND decodes everything exhaustive does, plus DAAT overhead.
+
+    Measured on this sandbox (100k-doc synthetic corpus, BENCH
+    'wand_regime' case): condition (c) is unsatisfiable there
+    (df_anchor>=3k needed to fill top-k x block 128 > df_hot~96k), and
+    indeed exhaustive wins or ties every regime tried (hot-only 1.7s
+    vs 2.4s; unique-rare 1.9s vs 3.2s; selective anchors ~2.2s vs
+    ~2.4s, all overhead-dominated). At the 10^9-doc scale WAND exists
+    for, (c) holds easily (df_anchor 10^4 x 128 << df_hot 10^8) and
+    the rule routes there. Exhaustive stays the default for small
+    total work, where fixed job overhead dominates either way."""
+
+    def idf(df_t: float) -> float:
+        return math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+    votes = 0
+    queries = {}
+    for qid, term, _ in qt_data:
+        queries.setdefault(qid, []).append(term)
+    for terms in queries.values():
+        dfs = [df_by_term.get(t, 0) for t in terms]
+        total = sum(dfs)
+        if total < 50_000:
+            continue  # overhead-dominated: vectorized exhaustive wins
+        pairs = [(idf(d), d) for d in dfs if d > 0]
+        if not pairs:
+            continue
+        best_idf, best_df = max(pairs)
+        worst_idf = min(i for i, _ in pairs)
+        hot_df = max(d for _, d in pairs)
+        anchor_strong = best_idf >= 1.0  # hot-only queries stay flat
+        anchor_fills_topk = best_df >= 3 * top_k
+        bounds_discriminate = worst_idf <= best_idf / 10.0
+        skipping_engages = best_df * block_size < hot_df
+        if (
+            anchor_strong
+            and anchor_fills_topk
+            and bounds_discriminate
+            and skipping_engages
+        ):
+            votes += 1
+    return "wand" if votes * 2 >= len(queries) and votes else "exhaustive"
+
+
 def search_sharded(
     index: ShardedIndex,
     queries: DataFrame,
@@ -245,7 +312,8 @@ def search_sharded(
 ) -> DataFrame:
     """-> (query_id, doc_id, score, rank). Query terms drive bucket
     pruning; unknown terms drop out via the inner join (reference
-    'continue', bm25.py:277-278)."""
+    'continue', bm25.py:277-278). strategy: 'exhaustive' | 'wand' |
+    'auto' (df/idf-based rule, see _auto_strategy)."""
     cfg = index.config
     spark = queries.sparkSession
     # queries are tiny by contract: collect the raw texts once and
@@ -275,50 +343,65 @@ def search_sharded(
         qt_data, "query_id long, term string, qtf int"
     )
     shards = index.shards_for_terms(terms)
+    n, avgdl = float(index.n_docs), float(index.avgdl)
 
-    # Per-term global df (sum over segments). Collected driver-side —
-    # bounded by the query's term count — both to feed the scorer as a
-    # literal broadcast relation and to ENFORCE the cap contract: the
-    # sharded path stores doc-ordered segments and cannot reproduce the
-    # reference's tf-ordered cap semantics (bm25.py:190-191, :283), so
-    # instead of silently diverging when a hot term exceeds a
-    # configured cap, it refuses.
-    df_rows = (
-        shards.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    )
+    # Per-term global df (sum over segments). Two execution shapes:
+    # * caps configured or strategy='auto' → collect driver-side
+    #   (bounded by the query's term count) to ENFORCE the cap
+    #   contract — the sharded path stores doc-ordered segments and
+    #   cannot reproduce the reference's tf-ordered caps
+    #   (bm25.py:190-191, :283), so it refuses instead of silently
+    #   diverging — and/or to feed the auto-strategy rule.
+    # * lossless config with an explicit strategy → keep the df agg as
+    #   a plan subtree under the broadcast join (no driver roundtrip).
     set_caps = [
         c
         for c in (cfg.max_postings_per_term, cfg.query_postings_cap)
         if c is not None
     ]
-    if set_caps:
-        limit = min(set_caps)
-        hot = sorted(
-            (r["term"], int(r["df"])) for r in df_rows if r["df"] > limit
+    dfs_subtree = shards.groupBy("term").agg(F.sum("df").alias("df"))
+    if set_caps or strategy == "auto":
+        df_rows = dfs_subtree.collect()
+        if set_caps:
+            limit = min(set_caps)
+            hot = sorted(
+                (r["term"], int(r["df"]))
+                for r in df_rows
+                if r["df"] > limit
+            )
+            if hot:
+                raise NotImplementedError(
+                    "sharded search cannot reproduce the reference's "
+                    "tf-ordered posting caps and these query terms "
+                    f"exceed the configured cap ({limit}): {hot[:5]}. "
+                    "Build/query with max_postings_per_term=None and "
+                    "query_postings_cap=None (the at-scale lossless "
+                    "mode) or use the logical path "
+                    "(bm25_score_queries) for reference cap semantics."
+                )
+        build_cap = cfg.max_postings_per_term
+        dfs = spark.createDataFrame(
+            [
+                (
+                    r["term"],
+                    min(int(r["df"]), build_cap)
+                    if build_cap
+                    else int(r["df"]),
+                )
+                for r in df_rows
+            ],
+            "term string, df long",
         )
-        if hot:
-            raise NotImplementedError(
-                "sharded search cannot reproduce the reference's "
-                "tf-ordered posting caps and these query terms exceed "
-                f"the configured cap ({limit}): {hot[:5]}. Build/query "
-                "with max_postings_per_term=None and "
-                "query_postings_cap=None (the at-scale lossless mode) "
-                "or use the logical path (bm25_score_queries) for "
-                "reference cap semantics."
+        if strategy == "auto":
+            strategy = _auto_strategy(
+                qt_data,
+                {r["term"]: int(r["df"]) for r in df_rows},
+                n,
+                top_k,
+                cfg.block_size,
             )
-    build_cap = cfg.max_postings_per_term
-    dfs = spark.createDataFrame(
-        [
-            (
-                r["term"],
-                min(int(r["df"]), build_cap) if build_cap else int(r["df"]),
-            )
-            for r in df_rows
-        ],
-        "term string, df long",
-    )
-
-    n, avgdl = float(index.n_docs), float(index.avgdl)
+    else:
+        dfs = dfs_subtree
 
     if strategy == "exhaustive":
         decoded = decode_shards_to_postings(shards)

@@ -312,6 +312,95 @@ def simhash_near_dups(
 
 
 # ------------------------------------------------------------------ #
+# near-dup clusters (connected components) + canonical survivors      #
+# ------------------------------------------------------------------ #
+
+def dup_clusters(
+    pairs: DataFrame,
+    ids: Optional[DataFrame] = None,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id),
+    cluster_id = smallest id in the component.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(component
+    diameter) rounds. Near-dup components are small and dense (they
+    are duplicate clusters), so 2-4 rounds typically suffice; each
+    round is one shuffle join + groupBy — no driver-side graph ever
+    materializes, which is what makes this shape survive 100 TB.
+    ``ids`` (optional, one ``id_col`` column) adds isolated docs as
+    singleton clusters so the output covers the whole corpus.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("lbl").alias("nlbl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("min_neigh"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce("min_neigh", "lbl")
+                ).alias("new_lbl"),
+                "lbl",
+            )
+        ).persist()
+        changed = new_labels.filter(
+            F.col("new_lbl") != F.col("lbl")
+        ).count()
+        old = labels
+        labels = new_labels.select(
+            "id", F.col("new_lbl").alias("lbl")
+        ).persist()
+        old.unpersist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("lbl").alias("cluster_id"))
+    if ids is not None:
+        singletons = ids.select(F.col(id_col).alias("id")).join(
+            out.select("id"), "id", "left_anti"
+        ).withColumn("cluster_id", F.col("id"))
+        out = out.unionByName(singletons)
+    return out
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop all but the canonical (smallest-id) doc of each near-dup
+    cluster: the purge step of a training-data dedup pipeline."""
+    keep = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------------------ #
 # embedding cosine near-dup                                           #
 # ------------------------------------------------------------------ #
 

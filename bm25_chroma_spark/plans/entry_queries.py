@@ -338,6 +338,25 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate
+    pairs (min-label propagation, no driver-side graph), singletons
+    included — the grouping step before a dedup purge. Oracle mirrors
+    it with a recursive transitive-closure CTE."""
+    from bm25_chroma_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=LSH_HASHES, bands=LSH_BANDS, shingle_k=SHINGLE_K
+    )
+    return dup_clusters(cand, ids=docs, id_col="doc_id").select(
+        "id", "cluster_id"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bm25_chroma_spark.functions.text_analysis import lang_id
 
@@ -505,6 +524,25 @@ JOIN sh a ON a.doc_id = cand.id_a
 JOIN sh b ON b.doc_id = cand.id_b
 WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
       / len(list_distinct(a.shingles || b.shingles)) >= {JACCARD_T}
+"""
+
+_ORACLES["dup_clusters"] = f"""
+WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_LSH_CAND},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION
+  SELECT id_b AS a, id_a AS b FROM cand
+),
+reach(id, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+lbl AS (
+  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id AS id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
 """
 
 # SimHash with the md5 token hash: md5_number_upper(tok) IS the
@@ -809,8 +847,9 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "jaccard_pairs": q_jaccard_pairs,
-        "lsh_candidates": q_lsh_candidates,   # rows-only
-        "simhash_dups": q_simhash_dups,       # rows-only
+        "lsh_candidates": q_lsh_candidates,
+        "simhash_dups": q_simhash_dups,
+        "dup_clusters": q_dup_clusters,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,

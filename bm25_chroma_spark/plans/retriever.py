@@ -70,6 +70,18 @@ def _doc_id_expr(uid_col):
     return F.xxhash64(uid_col)
 
 
+def resolve_doc_id(meta: Dict, default: str = "unknown") -> str:
+    """The reference's flexible metadata doc-id precedence
+    (hybrid_retriever.py:440-448, 476-481): RAG-pipeline format
+    ``filename`` + ``chunk_idx`` -> ``filename_chunkidx``; else
+    ``document_id``; else ``id``; else the fallback."""
+    if "filename" in meta and "chunk_idx" in meta:
+        return f"{meta['filename']}_{meta['chunk_idx']}"
+    if "document_id" in meta:
+        return meta["document_id"]
+    return meta.get("id", default)
+
+
 class SparkHybridRetriever:
     def __init__(
         self,
@@ -100,18 +112,21 @@ class SparkHybridRetriever:
         return sorted((self.state / "corpus").glob("gen_*.parquet"))
 
     def corpus_df(self) -> DataFrame:
-        """Live corpus: newest generation per doc_uid, tombstones out."""
+        """Live corpus: newest generation per doc_uid, tombstones out.
+        Carries the optional user metadata column (meta_json)."""
         gens = self._corpus_gens()
         if not gens:
             return self.spark.createDataFrame(
-                [], "doc_uid string, text string"
+                [], "doc_uid string, text string, meta_json string"
             )
-        parts = [
-            self.spark.read.parquet(str(p)).withColumn(
+        parts = []
+        for p in gens:
+            df = self.spark.read.parquet(str(p)).withColumn(
                 "gen", F.lit(int(p.stem.split("_")[1]))
             )
-            for p in gens
-        ]
+            if "meta_json" not in df.columns:
+                df = df.withColumn("meta_json", F.lit(None).cast("string"))
+            parts.append(df)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
@@ -119,7 +134,7 @@ class SparkHybridRetriever:
         return (
             u.withColumn("rn", F.row_number().over(w))
             .filter((F.col("rn") == 1) & (~F.col("deleted")))
-            .select("doc_uid", "text")
+            .select("doc_uid", "text", "meta_json")
         )
 
     def _next_gen(self, sub: str) -> Path:
@@ -163,17 +178,23 @@ class SparkHybridRetriever:
         self,
         documents: List[str],
         doc_ids: Optional[List[str]] = None,
+        metadatas: Optional[List[Dict]] = None,
         mode: str = "unified",
         show_progress: bool = False,
         **_kwargs,
     ) -> Dict:
         """Batch add/upsert. Auto ids are doc_{i:06d} like the
         reference (hybrid_retriever.py:104-106); mode is accepted for
-        API parity but irrelevant (Spark schedules both legs)."""
+        API parity but irrelevant (Spark schedules both legs).
+        ``metadatas`` (optional per-doc dicts) are stored with the
+        corpus and surfaced by ``query()``, including the reference's
+        flexible doc-id formats (filename/chunk_idx, document_id)."""
         if doc_ids is None:
             doc_ids = [f"doc_{i:06d}" for i in range(len(documents))]
         if len(documents) != len(doc_ids):
             raise ValueError("Documents and doc_ids must have same length")
+        if metadatas is not None and len(metadatas) != len(documents):
+            raise ValueError("Documents and metadatas must have same length")
         t0 = time.time()
 
         # old versions of re-added ids: their stored text defines the
@@ -195,8 +216,15 @@ class SparkHybridRetriever:
                 prior.write.mode("overwrite").parquet(str(snap))
                 old_versions = self.spark.read.parquet(str(snap))
 
+        import json as _json
+
+        metas = [
+            _json.dumps(m) if m is not None else None
+            for m in (metadatas or [None] * len(documents))
+        ]
         batch = self.spark.createDataFrame(
-            list(zip(doc_ids, documents)), "doc_uid string, text string"
+            list(zip(doc_ids, documents, metas)),
+            "doc_uid string, text string, meta_json string",
         ).withColumn("deleted", F.lit(False))
         batch.write.mode("overwrite").parquet(str(self._next_gen("corpus")))
 
@@ -499,13 +527,17 @@ class SparkHybridRetriever:
                 fused = vector_results[:n_results]
             fused_all.append(fused)
 
+        import json as _json
+
         all_uids = sorted({u for fused in fused_all for u, _ in fused})
-        texts = {
-            r["doc_uid"]: r["text"]
-            for r in self.corpus_df()
-            .filter(F.col("doc_uid").isin(all_uids))
-            .collect()
-        }
+        texts: Dict[str, str] = {}
+        metas: Dict[str, Dict] = {}
+        for r in (
+            self.corpus_df().filter(F.col("doc_uid").isin(all_uids)).collect()
+        ):
+            texts[r["doc_uid"]] = r["text"]
+            if r["meta_json"]:
+                metas[r["doc_uid"]] = _json.loads(r["meta_json"])
         vec_map: Dict[str, list] = {}
         if "embeddings" in include and all_uids:
             vec_map = {
@@ -522,7 +554,11 @@ class SparkHybridRetriever:
             uids = [u for u, _ in fused]
             all_ids.append(uids)
             all_docs.append([texts.get(u, "") for u in uids])
-            all_metas.append([{"document_id": u} for u in uids])
+            # stored user metadata when present; else the reference's
+            # minimal BM25-fallback metadata (hybrid_retriever.py:501)
+            all_metas.append(
+                [metas.get(u, {"document_id": u}) for u in uids]
+            )
             all_dists.append([1.0 - s for _, s in fused])
             all_embeds.append([vec_map.get(u) for u in uids])
 

@@ -184,3 +184,36 @@ def test_fingerprint_order_insensitive(spark):
     }
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_dup_clusters_connected_components(spark):
+    """Min-label propagation finds exact components: a 4-chain, a
+    pair, and singletons; cluster_id = min id of the component."""
+    from bm25_chroma_spark.operators.dedup import dup_clusters, keep_canonical
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, ids=ids).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20,
+        99: 99,
+    }
+
+    docs = ids.withColumn("text", F.concat(F.lit("t"), F.col("doc_id")))
+    kept = {
+        r["doc_id"]
+        for r in keep_canonical(
+            docs, dup_clusters(pairs, ids=ids)
+        ).collect()
+    }
+    assert kept == {1, 10, 20, 99}

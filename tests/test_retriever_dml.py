@@ -297,3 +297,36 @@ def test_compaction_preserves_results(spark, tmp_path):
     ret._index.refresh()
     ret.remove_document("1")
     assert ret.search_bm25("alpha", top_k=5)[0][0] == "4"
+
+
+def test_metadata_passthrough_and_resolution(spark, tmp_path):
+    """Reference facade parity: user metadatas stored with the corpus
+    surface through query(); doc-id resolution follows the reference
+    precedence (filename_chunkidx / document_id / id / fallback,
+    hybrid_retriever.py:440-448, 476-481)."""
+    from bm25_chroma_spark.plans.retriever import (
+        SparkHybridRetriever,
+        resolve_doc_id,
+    )
+
+    r = SparkHybridRetriever(spark, str(tmp_path / "meta_state"))
+    metas = [
+        {"filename": "a.txt", "chunk_idx": 3},
+        {"document_id": "custom"},
+        None,
+    ]
+    r.add_documents_batch(
+        ["alpha beta", "gamma delta", "epsilon zeta"],
+        ["x1", "x2", "x3"],
+        metadatas=metas,
+    )
+    res = r.query("alpha beta", n_results=3, include=["metadatas"])
+    got = dict(zip(res["ids"][0], res["metadatas"][0]))
+    assert got["x1"] == {"filename": "a.txt", "chunk_idx": 3}
+    assert got["x2"] == {"document_id": "custom"}
+    assert got["x3"] == {"document_id": "x3"}  # minimal fallback
+
+    assert resolve_doc_id({"filename": "a.txt", "chunk_idx": 3}) == "a.txt_3"
+    assert resolve_doc_id({"document_id": "d"}) == "d"
+    assert resolve_doc_id({"id": "z"}) == "z"
+    assert resolve_doc_id({}, default="f") == "f"

@@ -312,3 +312,43 @@ def test_resume_rejects_config_change(spark, docs_df, tmp_path_factory):
             docs_df, out, config=BM25Config(num_term_buckets=4),
             bucket_groups=2,
         )
+
+
+def test_auto_strategy_rule():
+    """Driver-side routing rule, pinned against the measured regimes
+    (see _auto_strategy docstring)."""
+    from bm25_chroma_spark.index.wand import _auto_strategy
+
+    BS = 128
+    # at-scale selective regime: anchor fills top-k AND is sparser
+    # than one posting per hot-term block -> skipping engages -> wand
+    big = {"anchor": 10_000, "hot1": 90_000_000, "hot2": 100_000_000}
+    sel = [(1, "anchor", 1), (1, "hot1", 1), (1, "hot2", 1)]
+    assert _auto_strategy(sel, big, 1e8, 10, BS) == "wand"
+    # sandbox-scale selective regime: anchor df 1.5k x block 128 >
+    # hot df 95k -> every hot block contains an anchor doc, skipping
+    # cannot engage (measured: exhaustive wins/ties) -> exhaustive
+    small = {"anchor": 1500, "hot1": 95000, "hot2": 100000}
+    assert _auto_strategy(sel, small, 100_000.0, 10, BS) == "exhaustive"
+    # hot-only: flat bounds, nothing prunable
+    assert _auto_strategy(
+        [(1, "hot1", 1), (1, "hot2", 1)], big, 1e8, 10, BS
+    ) == "exhaustive"
+    # unique-rare anchor cannot fill the top-k: hot-only docs rank too
+    assert _auto_strategy(
+        [(1, "rare", 1), (1, "hot1", 1)],
+        {"rare": 1, "hot1": 90_000_000}, 1e8, 10, BS,
+    ) == "exhaustive"
+    # tiny index: job overhead dominates, vectorized path wins
+    assert _auto_strategy(
+        sel, {"anchor": 15, "hot1": 200, "hot2": 300}, 500.0, 10, BS
+    ) == "exhaustive"
+
+
+def test_auto_strategy_results_identical(spark, shard_dir, queries_df):
+    idx = ShardedIndex(spark, shard_dir)
+    a = search_sharded(idx, queries_df, top_k=10, strategy="auto").collect()
+    e = search_sharded(
+        idx, queries_df, top_k=10, strategy="exhaustive"
+    ).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in e}
