@@ -96,19 +96,30 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     bm25_score_queries(allq, idx, top_k=10).collect()
     timings["bm25_batch_logical"] = time.time() - t0
 
-    # 5. synthetic corpus: generate + sharded build (the at-scale shape)
-    # partitions scale with cores so added parallelism has tasks to run
+    # 5. synthetic corpus: generation timed separately from the build
+    # (production builds read an existing table; r1's synth_build_20k
+    # mixed the two — synth_total_20k keeps that definition for
+    # round-over-round comparability). partitions scale with cores so
+    # added parallelism has tasks to run.
     t0 = time.time()
     corpus = synth_corpus(spark, synth_files, seed=42, partitions=cpus * 4)
-    corpus_docs = corpus.selectExpr(
+    src2 = tempfile.mkdtemp(prefix=f"bench_synthsrc_{cpus}_")
+    corpus.selectExpr(
         "xxhash64(repo, path, commit) as doc_id", "content as text"
-    )
+    ).write.mode("overwrite").parquet(src2)
+    timings["synth_gen_20k"] = time.time() - t0
     out2 = tempfile.mkdtemp(prefix=f"bench_synth_{cpus}_")
+    t0 = time.time()
     build_sharded_index(
-        corpus_docs, out2, config=LOSSLESS_CONFIG, bucket_groups=1
+        spark.read.parquet(src2), out2, config=LOSSLESS_CONFIG,
+        bucket_groups=1,
     )
     timings["synth_build_20k"] = time.time() - t0
+    timings["synth_total_20k"] = (
+        timings["synth_gen_20k"] + timings["synth_build_20k"]
+    )
     synth_throughput = synth_files / timings["synth_build_20k"]
+    shutil.rmtree(src2, ignore_errors=True)
 
     # 6. WAND regime probe: 100k-doc synth index, 16 batched queries
     # each with a selective anchor (df ~1.5k, fills top-10 alone) +

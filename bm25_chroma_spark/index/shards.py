@@ -300,7 +300,10 @@ def build_sharded_index(
     # terms without a JVM round-trip).
     part_dir = base / "partials.parquet"
     pman_path = base / "manifests" / "partials.json"
-    need_partials = bool(pending) or need_stats
+    need_doc_stats = need_stats or not (
+        base / "doc_stats.parquet" / "_SUCCESS"
+    ).exists()
+    need_partials = bool(pending) or need_stats or need_doc_stats
 
     def _partials_reusable() -> bool:
         # bucket/salt assignment is baked into the partials rows — a
@@ -314,7 +317,17 @@ def build_sharded_index(
             pman_path.read_text()
         ).get("config_hash") == cfg_hash
 
+    def _sentinel_dl_sum():
+        # per-row Σdl of a sentinel's packed dls array (JVM expr)
+        return F.aggregate(
+            "dls", F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    p_obs = None
     if need_partials and not _partials_reusable():
+        # N and Σdl ride the partials write via observe(): corpus
+        # stats cost no extra pass/job at all
+        p_obs = Observation("partials_stats")
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
@@ -323,39 +336,48 @@ def build_sharded_index(
                 config.num_term_buckets, config.salt_factor
             ),
             schema=_PARTIAL_DDL,
-        ).sortWithinPartitions("bucket").write.mode("overwrite").parquet(
-            str(part_dir)
-        )
+        ).sortWithinPartitions("bucket").observe(
+            p_obs,
+            F.sum(
+                F.when(F.col("bucket") == -1, F.size("doc_ids"))
+            ).alias("n"),
+            F.sum(
+                F.when(F.col("bucket") == -1, _sentinel_dl_sum())
+            ).alias("sum_dl"),
+        ).write.mode("overwrite").parquet(str(part_dir))
         pman_path.write_text(
             json.dumps({"status": "complete", "config_hash": cfg_hash})
         )
     raw = spark.read.parquet(str(part_dir)) if need_partials else None
 
     if need_stats:
-        # metrics ride the write action via observe() — no re-read job
-        ds_obs = Observation("doc_stats_metrics")
-        doc_stats = raw.filter(F.col("bucket") == -1).select(
-            F.explode(F.arrays_zip("doc_ids", "dls")).alias("z")
-        ).select(
-            F.col("z.doc_ids").alias("doc_id"),
-            F.col("z.dls").cast("int").alias("dl"),
-        ).observe(
-            ds_obs,
-            F.count(F.lit(1)).alias("n"),
-            F.avg("dl").alias("avgdl"),
-        )
-        doc_stats.write.mode("overwrite").parquet(
-            str(base / "doc_stats.parquet")
-        )
-        row = ds_obs.get
+        if p_obs is not None:
+            row = p_obs.get
+        else:  # partials reused from a crashed run: cheap pruned agg
+            row = raw.filter(F.col("bucket") == -1).agg(
+                F.sum(F.size("doc_ids")).alias("n"),
+                F.sum(_sentinel_dl_sum()).alias("sum_dl"),
+            ).collect()[0]
+        n_docs = int(row["n"] or 0)
+        sum_dl = int(row["sum_dl"] or 0)
         stats = {
-            "n_docs": int(row["n"] or 0),
-            "avgdl": float(row["avgdl"] or 0.0),
+            "n_docs": n_docs,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
             "config": asdict(config),
             "config_hash": cfg_hash,
             "built_at": time.time(),
         }
         stats_path.write_text(json.dumps(stats, indent=2))
+
+    def _write_doc_stats() -> None:
+        raw.filter(F.col("bucket") == -1).select(
+            F.explode(F.arrays_zip("doc_ids", "dls")).alias("z")
+        ).select(
+            F.col("z.doc_ids").alias("doc_id"),
+            F.col("z.dls").cast("int").alias("dl"),
+        ).write.mode("overwrite").parquet(
+            str(base / "doc_stats.parquet")
+        )
 
     partials = (
         raw.filter(F.col("bucket") >= 0) if raw is not None else None
@@ -421,22 +443,30 @@ def build_sharded_index(
     manifests: List[dict] = []
     if _fail_after_groups is not None:
         # test hook: deterministic sequential order with injected crash
+        if need_doc_stats:
+            _write_doc_stats()
         done_groups = 0
         for g in pending:
             if done_groups >= _fail_after_groups:
                 raise RuntimeError(f"injected failure before group {g}")
             manifests.append(_build_group(g))
             done_groups += 1
-    elif pending:
-        # groups are independent jobs: submit them concurrently so one
-        # group's driver-side tail (task scheduling, manifest write)
-        # overlaps another's compute instead of serializing
+    elif pending or need_doc_stats:
+        # groups (and the doc_stats write) are independent jobs:
+        # submit them concurrently so one job's driver-side tail
+        # (task scheduling, manifest write) overlaps another's
+        # compute instead of serializing
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(
-            max_workers=min(len(pending), 8)
+            max_workers=min(len(pending) + 1, 8)
         ) as pool:
+            ds_future = (
+                pool.submit(_write_doc_stats) if need_doc_stats else None
+            )
             manifests = list(pool.map(_build_group, pending))
+            if ds_future is not None:
+                ds_future.result()
     for manifest in manifests:
         for k in ("postings", "terms", "bytes"):
             totals[k] += manifest["metrics"][k]
