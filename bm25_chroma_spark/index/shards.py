@@ -495,13 +495,25 @@ class ShardedIndex:
         self.refresh()
 
     def refresh(self) -> "ShardedIndex":
-        """Re-read stats.json (N/avgdl/generation move under DML)."""
+        """Re-read stats.json (N/avgdl/generation move under DML) and
+        drop cached scan plans (their file listings go stale)."""
         stats = json.loads((self.path / "stats.json").read_text())
         self.n_docs: int = stats["n_docs"]
         self.avgdl: float = stats["avgdl"]
         self.generation: int = int(stats.get("generation", 0))
         self.config = BM25Config(**stats["config"])
+        self._scan_cache: dict = {}
         return self
+
+    def _scan(self, key, make) -> DataFrame:
+        """Per-index cache of scan DataFrames: re-listing parquet
+        files for every query costs a driver roundtrip; the lazy plan
+        (and its file index) is reusable until refresh()."""
+        df = self._scan_cache.get(key)
+        if df is None:
+            df = make()
+            self._scan_cache[key] = df
+        return df
 
     def shards_for_terms(self, terms: List[str]) -> DataFrame:
         """Scan only the buckets/groups the query terms hash to —
@@ -546,9 +558,12 @@ class ShardedIndex:
         n_groups = _groups(self.path)
         groups = sorted({b % n_groups for b in buckets})
         paths = [str(self.path / "shards" / f"group={g}") for g in groups]
-        df = self.spark.read.option(
-            "basePath", str(self.path / "shards")
-        ).parquet(*paths)
+        df = self._scan(
+            ("base", tuple(groups)),
+            lambda: self.spark.read.option(
+                "basePath", str(self.path / "shards")
+            ).parquet(*paths),
+        )
         base = narrow(df.filter(F.col("bucket").isin(buckets))).select(
             "bucket", "term", "segment", "df", "doc_bytes", "tf_bytes",
             "dl_bytes", "blocks", F.lit(0).alias("gen"),
@@ -560,11 +575,13 @@ class ShardedIndex:
                 if not (d / "shards").exists():
                     continue
                 g = int(d.name.split("_")[1])
+                gen_df = self._scan(
+                    ("gen", g),
+                    lambda p=str(d / "shards"): self.spark.read.parquet(p),
+                )
                 parts.append(
                     narrow(
-                        self.spark.read.parquet(str(d / "shards")).filter(
-                            F.col("bucket").isin(buckets)
-                        )
+                        gen_df.filter(F.col("bucket").isin(buckets))
                     ).select(
                         "bucket", "term", "segment", "df", "doc_bytes",
                         "tf_bytes", "dl_bytes", "blocks",
@@ -586,7 +603,12 @@ class ShardedIndex:
         return u.filter(F.col("df") > 0).drop("gen")
 
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.path / "doc_stats.parquet"))
+        return self._scan(
+            ("doc_stats",),
+            lambda: self.spark.read.parquet(
+                str(self.path / "doc_stats.parquet")
+            ),
+        )
 
     def term_dfs(self, terms: List[str]) -> DataFrame:
         """Global df per term = sum over segments (capped like the

@@ -313,26 +313,35 @@ def search_sharded(
     """-> (query_id, doc_id, score, rank). Query terms drive bucket
     pruning; unknown terms drop out via the inner join (reference
     'continue', bm25.py:277-278). strategy: 'exhaustive' | 'wand' |
-    'auto' (df/idf-based rule, see _auto_strategy)."""
+    'auto' (df/idf-based rule, see _auto_strategy).
+
+    ``queries`` is a DataFrame (query_id, query_text) or a plain list
+    of (query_id, query_text) pairs — the list form skips a
+    collect() roundtrip for interactive callers."""
     cfg = index.config
-    spark = queries.sparkSession
-    # queries are tiny by contract: collect the raw texts once and
-    # tokenize driver-side with the same reference-parity function —
-    # avoids a dedicated pandas-UDF Spark job per search call
+    # queries are tiny by contract: get the raw texts driver-side and
+    # tokenize with the same reference-parity function — avoids a
+    # dedicated pandas-UDF Spark job per search call
     from collections import Counter
 
     from bm25_chroma_spark.functions.tokenizer import tokenize_py
 
-    qrows = queries.select(
-        F.col(queries.columns[0]).alias("query_id"),
-        F.col(queries.columns[1]).alias("query_text"),
-    ).collect()
+    if isinstance(queries, DataFrame):
+        spark = queries.sparkSession
+        qpairs = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select(
+                F.col(queries.columns[0]).alias("query_id"),
+                F.col(queries.columns[1]).alias("query_text"),
+            ).collect()
+        ]
+    else:
+        spark = index.spark
+        qpairs = [(int(a), b) for a, b in queries]
     qt_data = [
-        (int(r["query_id"]), term, int(qtf))
-        for r in qrows
-        for term, qtf in sorted(
-            Counter(tokenize_py(r["query_text"])).items()
-        )
+        (qid, term, int(qtf))
+        for qid, qtext in qpairs
+        for term, qtf in sorted(Counter(tokenize_py(qtext)).items())
     ]
     terms = sorted({t for _, t, _ in qt_data})
     if not terms:

@@ -367,10 +367,7 @@ class SparkHybridRetriever:
             )
         if self._index is None:
             return []
-        q = self.spark.createDataFrame(
-            [(0, query)], "query_id long, query_text string"
-        )
-        res = search_sharded(self._index, q, top_k=top_k)
+        res = search_sharded(self._index, [(0, query)], top_k=top_k)
         rows = (
             res.join(self._uid_map(), "doc_id")
             .orderBy("rank")
@@ -457,10 +454,9 @@ class SparkHybridRetriever:
         out: List[List[Tuple[str, float]]] = [[] for _ in query_texts]
         if self._index is None:
             return out
-        qdf = self.spark.createDataFrame(
-            list(enumerate(query_texts)), "query_id long, query_text string"
+        res = search_sharded(
+            self._index, list(enumerate(query_texts)), top_k=top_k
         )
-        res = search_sharded(self._index, qdf, top_k=top_k)
         rows = res.join(self._uid_map(), "doc_id").select(
             "query_id", "doc_uid", "score", "rank"
         ).collect()
