@@ -130,6 +130,7 @@ def knn_lsh(
     n_tables: int = 8,
     multiprobe: int = 1,
     seed: int = 42,
+    score_round: Optional[int] = None,
 ) -> DataFrame:
     """Approximate KNN: signed-random-projection buckets, multi-table,
     query-side multi-probe.
@@ -192,13 +193,20 @@ def knn_lsh(
     scored = cand.select(
         "query_id", "vec_id", (F.lit(1.0) - cos).alias("dist")
     )
+    if score_round is not None:
+        # round BEFORE ranking: cross-engine float-association drift
+        # must not flip a rank (same contract as knn_bruteforce)
+        scored = scored.withColumn("dist", F.round("dist", score_round))
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .withColumn("sim", F.lit(1.0) / (F.lit(1.0) + F.col("dist")))
         .select("query_id", "vec_id", "dist", "sim", "rank")
     )
+    if score_round is not None:
+        out = out.withColumn("sim", F.round("sim", score_round))
+    return out
 
 
 def lsh_recall_vs_exact(

@@ -420,6 +420,60 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_EMB_PLANES = 6
+LSH_EMB_TABLES = 8
+LSH_EMB_SEED = 42
+LSH_EMB_DIM = 64  # driver embeddings fixture dimension
+
+
+def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of embedding dedup: random-hyperplane bucketed
+    candidates (no all-pairs join), exact cosine on survivors. The
+    oracle inlines the deterministic hyperplanes as SQL literals and
+    mirrors the bucketing bit-for-bit."""
+    from bm25_chroma_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dups(
+        emb,
+        threshold=0.5,
+        use_lsh=True,
+        n_planes=LSH_EMB_PLANES,
+        n_tables=LSH_EMB_TABLES,
+        seed=LSH_EMB_SEED,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", ROUND).alias("cosine")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors — the 100 TB similarity-search
+    path: signed-random-projection buckets, multi-table + query-side
+    multiprobe, exact cosine re-rank on candidates only. Deterministic
+    given the seed, so the oracle mirrors every bucket join with the
+    hyperplanes inlined as SQL literals."""
+    from bm25_chroma_spark.operators.knn import knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = knn_lsh(
+        emb,
+        _knn_query_vecs(spark, sf_dir),
+        k=KNN_K,
+        n_planes=LSH_EMB_PLANES,
+        n_tables=LSH_EMB_TABLES,
+        multiprobe=1,
+        seed=LSH_EMB_SEED,
+        score_round=ROUND,
+    )
+    return res.select(
+        "query_id",
+        "vec_id",
+        (F.col("dist") + F.lit(0.0)).alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full hybrid: BM25 leg + exact-KNN leg fused with RRF (ratio
     0.5, k=60, candidate widening x2 like the reference facade)."""
@@ -719,6 +773,138 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def _lsh_embed_oracle() -> str:
+    """Hyperplane-LSH embedding dedup mirrored in SQL: the Gaussian
+    planes (deterministic, seed-derived) are inlined as literals; the
+    per-table bit signatures, bucket self-joins, candidate union and
+    exact-cosine threshold reproduce embedding_near_dups(use_lsh=True)
+    exactly."""
+    from bm25_chroma_spark.operators.knn import hyperplanes
+
+    def sql_vec(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"]
+    pair_sels = []
+    for t in range(LSH_EMB_TABLES):
+        planes = hyperplanes(
+            LSH_EMB_DIM, LSH_EMB_PLANES, seed=LSH_EMB_SEED + 1000 * t
+        )
+        bits = "\n      + ".join(
+            f"(CASE WHEN list_dot_product(vec, {sql_vec(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        ctes.append(
+            f"s{t} AS (SELECT vec_id, {bits} AS sig FROM e)"
+        )
+        pair_sels.append(
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM s{t} a "
+            f"JOIN s{t} b ON a.sig = b.sig AND a.vec_id < b.vec_id"
+        )
+    union = "\n  UNION\n  ".join(pair_sels)
+    cte_sql = ",\n".join(ctes)
+    return f"""
+WITH {cte_sql},
+cand AS (
+  {union}
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(a.vec, b.vec)
+           / (sqrt(list_dot_product(a.vec, a.vec))
+              * sqrt(list_dot_product(b.vec, b.vec))) AS cos
+  FROM cand c
+  JOIN e a ON a.vec_id = c.id_a
+  JOIN e b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cos, {ROUND}) AS cosine FROM j WHERE cos >= 0.5
+"""
+
+
+_ORACLES["embedding_dups_lsh"] = _lsh_embed_oracle()
+
+
+def _ann_lsh_oracle() -> str:
+    """knn_lsh mirrored in SQL: per-table bit signatures over inlined
+    hyperplanes for corpus AND queries, query-side multiprobe (own
+    bucket + single-bit flips), bucket equi-joins unioned across
+    tables, exact cosine re-rank (rounded before ranking, -0.0
+    canonicalized) on the candidate set."""
+    from bm25_chroma_spark.operators.knn import hyperplanes
+
+    def sql_vec(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    qsel = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    case = " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(KNN_QUERY_IDS)
+    )
+    masks = [0] + [1 << i for i in range(LSH_EMB_PLANES)]
+    masks_sql = "[" + ", ".join(str(m) for m in masks) + "]"
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"""q AS (SELECT (CASE vec_id {case} END)::BIGINT AS query_id,
+             embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id IN ({qsel}))""",
+    ]
+    pair_sels = []
+    for t in range(LSH_EMB_TABLES):
+        planes = hyperplanes(
+            LSH_EMB_DIM, LSH_EMB_PLANES, seed=LSH_EMB_SEED + 1000 * t
+        )
+        ebits = "\n      + ".join(
+            f"(CASE WHEN list_dot_product(vec, {sql_vec(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        qbits = "\n      + ".join(
+            f"(CASE WHEN list_dot_product(qvec, {sql_vec(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        ctes.append(f"se{t} AS (SELECT vec_id, {ebits} AS sig FROM e)")
+        ctes.append(
+            f"sq{t} AS (SELECT query_id, xor(({qbits})::BIGINT, m.m) "
+            f"AS psig FROM q CROSS JOIN (SELECT unnest({masks_sql}) "
+            f"AS m) m)"
+        )
+        pair_sels.append(
+            f"SELECT p.query_id, c.vec_id FROM se{t} c "
+            f"JOIN sq{t} p ON c.sig = p.psig"
+        )
+    union = "\n  UNION\n  ".join(pair_sels)
+    cte_sql = ",\n".join(ctes)
+    return f"""
+WITH {cte_sql},
+cand AS (
+  {union}
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(1.0 - list_dot_product(e.vec, q.qvec)
+           / (sqrt(list_dot_product(e.vec, e.vec))
+              * sqrt(list_dot_product(q.qvec, q.qvec))), {ROUND})
+           + 0.0 AS dist
+  FROM cand
+  JOIN e ON e.vec_id = cand.vec_id
+  JOIN q ON q.query_id = cand.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+         )::INT AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+_ORACLES["ann_lsh"] = _ann_lsh_oracle()
+
+
 def _rrf_oracle() -> str:
     knn = _knn_oracle().replace(f"rank <= {KNN_K}", "rank <= 20")
     bm25 = _bm25_oracle().replace(
@@ -856,6 +1042,8 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vector family
         "knn_topk": q_knn_topk,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+        "ann_lsh": q_ann_lsh,
         "rrf_hybrid": q_rrf_hybrid,
         # relational showcase
         "pricing_summary": q_pricing_summary,
