@@ -127,6 +127,93 @@ def stream_index_ingest(
     )
 
 
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    schema: str = "doc_id long, text string",
+) -> StreamingQuery:
+    """Streaming exact dedup — the streaming form of
+    operators/dedup.py::dedup_exact, built on the custom-stateful-
+    operator surface (applyInPandasWithState): per content sha256 the
+    state is one boolean; the FIRST document seen for a hash (ties
+    within a micro-batch broken by smallest doc_id) is emitted to the
+    parquet sink, every later duplicate is dropped.
+
+    State is O(distinct hashes) booleans — the minimal dedup state;
+    at 100 TB you bound it with the RocksDB state store and (if the
+    stream has event time) a watermark-based TTL instead of
+    NoTimeout. Exactly-once via the streaming checkpoint + append
+    sink."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    hashed = stream.select(
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("content_hash", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", BooleanType())])
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            return  # hash already emitted in an earlier batch
+        best_id, best_text = None, None
+        for pdf in pdfs:
+            i = pdf["doc_id"].idxmin()
+            if best_id is None or int(pdf["doc_id"][i]) < best_id:
+                best_id = int(pdf["doc_id"][i])
+                best_text = pdf["text"][i]
+        state.update((True,))
+        yield pd.DataFrame(
+            [
+                {
+                    "content_hash": key[0],
+                    "doc_id": best_id,
+                    "text": best_text,
+                }
+            ]
+        )
+
+    deduped = hashed.groupBy("content_hash").applyInPandasWithState(
+        first_seen,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

@@ -152,3 +152,50 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_dedup_first_seen_matches_batch(spark, tmp_path):
+    """Stateful streaming dedup (applyInPandasWithState) emits exactly
+    the batch dedup_exact survivor set, across micro-batch boundaries
+    (a duplicate arriving in a LATER file must be dropped)."""
+    from bm25_chroma_spark.operators.dedup import exact_dup_groups
+    from bm25_chroma_spark.streaming.ingest import stream_dedup_first_seen
+
+    batches = [
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        [(4, "alpha beta"), (5, "epsilon zeta")],
+        [(6, "gamma delta"), (7, "eta theta"), (8, "eta theta")],
+    ]
+    flat = tmp_path / "dd_src"
+    flat.mkdir()
+    import shutil
+
+    for bi, rows in enumerate(batches):
+        tmp = tmp_path / f"dd_stage{bi}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for n, p in enumerate(sorted(tmp.rglob("*.parquet"))):
+            shutil.copy(p, flat / f"b{bi}_{n}.parquet")
+
+    out = tmp_path / "dd_out"
+    # three runs so files land in separate micro-batches
+    for _ in range(3):
+        q = stream_dedup_first_seen(
+            spark, str(flat), str(tmp_path / "dd_ck"), str(out)
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    want_ids = {
+        r["keep_id"]: r["content_hash"]
+        for r in exact_dup_groups(all_docs).collect()
+    }
+    assert {d for d, _ in got} == set(want_ids)  # {1, 2, 5, 7}
+    assert {d for d, _ in got} == {1, 2, 5, 7}
