@@ -110,3 +110,52 @@ def fingerprint_hex(col: Column) -> Column:
     return F.md5(
         F.array_join(F.array_sort(F.array_distinct(_words(col))), " ")
     )
+
+
+def pack_sequences(
+    df,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_groups: int = 64,
+    counter: str = "ws",
+):
+    """Deterministic doc-level sequence packing for LLM-training
+    pipelines: assign each document to a (pack_group, pack_bin) cell
+    such that consecutive docs of a group fill ~max_tokens budgets.
+
+    Design for scale: a single global greedy packer is inherently
+    sequential, so docs are first salted into ``n_groups`` independent
+    streams (pmod of the id — deterministic, reproducible), and within
+    each stream a window cumulative-sum assigns
+    ``bin = floor(tokens_before_me / max_tokens)`` over id order. Each
+    stream's window is one shuffle partition's worth of work; streams
+    pack in parallel. Docs longer than max_tokens still get one bin
+    (downstream chunking splits them). Token accounting: 'ws'
+    (whitespace) or 'bpe' (subword proxy).
+
+    -> (id_col, n_tokens int, pack_group int, pack_bin long,
+        plus passthrough of text_col is intentionally dropped).
+    """
+    from pyspark.sql import Window
+
+    count_fn = token_count_ws if counter == "ws" else token_count_bpe_ish
+    base = df.select(
+        F.col(id_col),
+        count_fn(F.col(text_col)).cast("int").alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias(
+            "pack_group"
+        ),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "n_tokens",
+        "pack_group",
+        F.floor(cum_before / F.lit(max_tokens)).alias("pack_bin"),
+    )

