@@ -90,7 +90,11 @@ class SparkHybridRetriever:
         embedding_function: Optional[Callable] = None,
         config: Optional[BM25Config] = None,
         bucket_groups: int = 1,
+        auto_compact_after: int = 16,
     ):
+        """auto_compact_after: fold DML generations back into the base
+        once that many accumulate (bounds read amplification under
+        sustained DML; 0/None disables)."""
         self.spark = spark
         self.state = Path(state_path)
         self.embed = embedding_function or deterministic_stub_embedder
@@ -98,6 +102,7 @@ class SparkHybridRetriever:
             num_term_buckets=8, salt_factor=4
         )
         self.bucket_groups = bucket_groups
+        self.auto_compact_after = auto_compact_after
         (self.state / "corpus").mkdir(parents=True, exist_ok=True)
         (self.state / "vectors").mkdir(parents=True, exist_ok=True)
         self._index: Optional[ShardedIndex] = None
@@ -254,6 +259,7 @@ class SparkHybridRetriever:
                 delete_docs=old_versions,
             )
             self._index.refresh()
+            self._maybe_compact()
 
         total = time.time() - t0
         return {
@@ -339,6 +345,19 @@ class SparkHybridRetriever:
             self.spark, str(self.state / "index"), delete_docs=delete_df
         )
         self._index.refresh()
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        """LSM maintenance: fold DML generations into the base once
+        auto_compact_after of them pile up — readers see identical
+        content, read amplification returns to one layer."""
+        if not self.auto_compact_after:
+            return
+        if self._index.generation >= self.auto_compact_after:
+            from bm25_chroma_spark.index.dml import compact_index
+
+            compact_index(self.spark, str(self.state / "index"))
+            self._index.refresh()
 
     def reset_collection(self) -> None:
         for sub in ("corpus", "vectors", "index"):

@@ -330,3 +330,26 @@ def test_metadata_passthrough_and_resolution(spark, tmp_path):
     assert resolve_doc_id({"document_id": "d"}) == "d"
     assert resolve_doc_id({"id": "z"}) == "z"
     assert resolve_doc_id({}, default="f") == "f"
+
+
+def test_auto_compaction_preserves_results(spark, tmp_path):
+    """With auto_compact_after=3, sustained DML triggers compaction
+    (generation folds back to 0) and search results are unchanged."""
+    from bm25_chroma_spark.plans.retriever import SparkHybridRetriever
+
+    r = SparkHybridRetriever(
+        spark, str(tmp_path / "ac_state"), auto_compact_after=3
+    )
+    r.add_documents_batch(
+        ["alpha beta", "gamma delta", "epsilon zeta"], ["a", "b", "c"]
+    )
+    for i in range(3):  # three DML batches -> generation hits 3
+        r.add_documents_batch([f"alpha beta round{i}"], ["a"])
+    assert r._index.generation == 0  # compacted
+    assert (
+        tmp_path / "ac_state" / "index" / "gen"
+    ).exists() is False
+    hits = [u for u, _ in r.search_bm25("alpha beta", top_k=5)]
+    assert hits[0] == "a"
+    assert set(hits) >= {"a"}
+    assert {u for u, _ in r.search_bm25("gamma", top_k=5)} == {"b"}
