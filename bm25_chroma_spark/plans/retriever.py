@@ -18,10 +18,11 @@ Semantic parity notes:
   explanation instead of replicating the broken call.
 * The vector leg replaces ChromaDB/HNSW with a pluggable
   ``embedding_function`` + exact KNN over a vectors table. The
-  default embedder is a DETERMINISTIC STUB (sha256-seeded unit
-  vector) standing in for sentence-transformers, which is not
-  available in this environment; swap in a real encoder via the
-  constructor for production.
+  default embedder is a deterministic HASHED BAG-OF-WORDS projection
+  (feature hashing; cosine tracks token overlap) standing in for
+  sentence-transformers, which is not available in this environment —
+  real retrieval semantics without an external model; swap in a real
+  encoder via the constructor for production.
 
 State layout under ``state_path``:
   corpus/gen_K.parquet   (doc_uid, text, deleted) — newest gen wins
@@ -53,8 +54,8 @@ def deterministic_stub_embedder(texts: Sequence[str], dim: int = 64
     """STUB embedding function: sha256-seeded unit vectors.
 
     Deterministic (same text -> same vector), no external model. Not
-    semantically meaningful; exists so the vector leg's plumbing is
-    real and testable in this environment.
+    semantically meaningful (similar texts get unrelated vectors);
+    kept for tests that need content-addressed orthogonal-ish vectors.
     """
     out = []
     for t in texts:
@@ -63,6 +64,35 @@ def deterministic_stub_embedder(texts: Sequence[str], dim: int = 64
         )
         v = np.random.RandomState(seed).randn(dim)
         out.append((v / np.linalg.norm(v)).tolist())
+    return out
+
+
+def hashed_bow_embedder(texts: Sequence[str], dim: int = 64
+                        ) -> List[List[float]]:
+    """Deterministic hashed bag-of-words embedder (the DEFAULT).
+
+    Each lowercase whitespace token hashes to a bucket with a
+    sha256-derived sign (the classic feature-hashing / signed random
+    projection of a BoW vector); vectors are L2-normalized, so cosine
+    similarity tracks token overlap. No external model (sentence-
+    transformers is unavailable in this environment — swap a real
+    encoder in via the constructor for production), but unlike a
+    random stub the vector leg now has real retrieval semantics:
+    texts sharing vocabulary ARE neighbors, so hybrid fusion and KNN
+    are exercised end-to-end meaningfully.
+    """
+    out = []
+    for t in texts:
+        v = np.zeros(dim)
+        for tok in str(t).lower().split():
+            h = hashlib.sha256(tok.encode("utf-8")).digest()
+            idx = int.from_bytes(h[:4], "big") % dim
+            sign = 1.0 if h[4] & 1 else -1.0
+            v[idx] += sign
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
+        out.append(v.tolist())
     return out
 
 
@@ -97,7 +127,7 @@ class SparkHybridRetriever:
         sustained DML; 0/None disables)."""
         self.spark = spark
         self.state = Path(state_path)
-        self.embed = embedding_function or deterministic_stub_embedder
+        self.embed = embedding_function or hashed_bow_embedder
         self.config = config or BM25Config(
             num_term_buckets=8, salt_factor=4
         )

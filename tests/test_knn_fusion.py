@@ -137,3 +137,36 @@ def test_rrf_single_leg_fallback(spark):
     assert [r["doc_id"] for r in sorted(fused, key=lambda r: r["rank"])] == [
         11, 12,
     ]
+
+
+def test_hashed_bow_embedder_semantics(spark, tmp_path):
+    """The default embedder gives the vector leg real retrieval
+    semantics: token-overlapping docs are cosine neighbors, so a
+    paraphrase-ish query retrieves the overlapping doc first even
+    when BM25 has nothing to match (empty-intersection queries
+    aside), and hybrid fusion is exercised meaningfully."""
+    import numpy as np
+
+    from bm25_chroma_spark.plans.retriever import (
+        SparkHybridRetriever,
+        hashed_bow_embedder,
+    )
+
+    a, b = hashed_bow_embedder(
+        ["spark shuffle join performance", "spark shuffle join speed"]
+    )
+    c = hashed_bow_embedder(["completely unrelated gardening tips"])[0]
+    cos = lambda x, y: float(np.dot(x, y))
+    assert cos(a, b) > cos(a, c) + 0.3  # overlap -> similarity
+
+    r = SparkHybridRetriever(spark, str(tmp_path / "bow_state"))
+    r.add_documents_batch(
+        [
+            "spark shuffle join performance tuning",
+            "gardening tips for spring tulips",
+            "inverted index compression tricks",
+        ],
+        ["d_spark", "d_garden", "d_index"],
+    )
+    top = r.search_vector("spark shuffle join speed", top_k=3)
+    assert top[0][0] == "d_spark"
