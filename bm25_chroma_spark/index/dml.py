@@ -150,10 +150,13 @@ def apply_dml(
             seg_udf(F.col("doc_id")).alias("segment"),
         )
         block_size = cfg.block_size
+        # persisted: both the generation write and the tombstone
+        # anti-join consume it — without the pin the encode UDF would
+        # run twice
         encoded = keyed.groupBy("bucket", "segment").applyInPandas(
             lambda pdf: _encode_bucket_segment(pdf, block_size),
             schema=SHARD_DDL,
-        )
+        ).persist()
 
         # tombstones: (term, segment) that existed but emptied out
         old_keys = aff_shards.select("bucket", "term", "segment").distinct()
@@ -178,6 +181,7 @@ def apply_dml(
         encoded.unionByName(gone).write.mode("overwrite").parquet(
             str(gen_dir / "shards")
         )
+        encoded.unpersist()
         aff_shards.unpersist()
 
     # doc_stats delta: every victim not re-added with >=1 token goes

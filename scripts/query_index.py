@@ -20,7 +20,9 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument(
-        "--strategy", choices=["exhaustive", "wand"], default="wand"
+        "--strategy",
+        choices=["exhaustive", "wand", "auto"],
+        default="auto",
     )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
