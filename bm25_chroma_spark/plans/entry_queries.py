@@ -22,7 +22,6 @@ from typing import Callable, Dict, List, Tuple
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bm25_chroma_spark.config import BM25Config
 from bm25_chroma_spark.functions.tokenizer import tokenize_py
 from bm25_chroma_spark.operators.index_build import build_logical_index
 from bm25_chroma_spark.operators.scoring import bm25_score_queries
@@ -85,12 +84,21 @@ _INDEX_CACHE: Dict[str, object] = {}
 
 def _index(spark: SparkSession, sf_dir: str):
     # one logical index per sf_dir per process: entry queries reuse it
-    # instead of re-tokenizing the corpus for every contract check
+    # instead of re-tokenizing the corpus for every contract check.
+    # LOSSLESS config: the reference's tf-ordered posting caps are not
+    # SQL-expressible, so the oracle scores all postings — at the
+    # driver's sf (<=0.01, 500 docs) the caps never bind and the two
+    # configs are identical, while lossless stays oracle-equal at ANY
+    # sf (at sf0.1 the 1000-posting query cap would bind and diverge).
+    # Cap semantics themselves are pinned separately against the
+    # reference in tests/test_caps_golden.py.
+    from bm25_chroma_spark.config import LOSSLESS_CONFIG
+
     key = f"{id(spark)}:{sf_dir}"
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = build_logical_index(
             _load_docs(spark, sf_dir), id_col="doc_id", text_col="text",
-            config=BM25Config(),
+            config=LOSSLESS_CONFIG,
         )
     return _INDEX_CACHE[key]
 
