@@ -380,7 +380,10 @@ class SparkHybridRetriever:
     def _maybe_compact(self) -> None:
         """LSM maintenance: fold DML generations into the base once
         auto_compact_after of them pile up — readers see identical
-        content, read amplification returns to one layer."""
+        content, read amplification returns to one layer. The corpus
+        and vectors stores compact too: without it every DML batch
+        adds one more parquet read + window layer to corpus_df()'s
+        plan, which grows without bound under sustained DML."""
         if not self.auto_compact_after:
             return
         if self._index.generation >= self.auto_compact_after:
@@ -388,6 +391,21 @@ class SparkHybridRetriever:
 
             compact_index(self.spark, str(self.state / "index"))
             self._index.refresh()
+            self._compact_store(
+                "corpus",
+                self.corpus_df().withColumn("deleted", F.lit(False)),
+            )
+            self._compact_store("vectors", self.vectors_df())
+
+    def _compact_store(self, sub: str, live: DataFrame) -> None:
+        """Collapse a generation-stacked parquet store to one live
+        generation: write the live view to a scratch dir (pinning it),
+        drop the old gen files, promote the scratch as gen 1."""
+        tmp = self.state / sub / "_compacting.parquet"
+        live.write.mode("overwrite").parquet(str(tmp))
+        for p in sorted((self.state / sub).glob("gen_*.parquet")):
+            shutil.rmtree(p, ignore_errors=True)
+        tmp.rename(self.state / sub / "gen_00001.parquet")
 
     def reset_collection(self) -> None:
         for sub in ("corpus", "vectors", "index"):

@@ -349,7 +349,17 @@ def test_auto_compaction_preserves_results(spark, tmp_path):
     assert (
         tmp_path / "ac_state" / "index" / "gen"
     ).exists() is False
+    # corpus/vectors stores collapsed to one generation each
+    assert len(list((tmp_path / "ac_state" / "corpus").glob(
+        "gen_*.parquet"))) == 1
+    assert len(list((tmp_path / "ac_state" / "vectors").glob(
+        "gen_*.parquet"))) == 1
     hits = [u for u, _ in r.search_bm25("alpha beta", top_k=5)]
     assert hits[0] == "a"
     assert set(hits) >= {"a"}
     assert {u for u, _ in r.search_bm25("gamma", top_k=5)} == {"b"}
+    # DML continues to work after store compaction
+    r.remove_document("c")
+    assert {u for u, _ in r.search_bm25("epsilon zeta", top_k=5)} == set()
+    res = r.query("alpha beta", n_results=2, include=["documents"])
+    assert res["ids"][0][0] == "a"
