@@ -401,9 +401,12 @@ class SparkHybridRetriever:
         """Collapse a generation-stacked parquet store to one live
         generation: write the live view to a scratch dir (pinning it),
         drop the old gen files, promote the scratch as gen 1."""
+        gens = sorted((self.state / sub).glob("gen_*.parquet"))
+        if len(gens) <= 1:
+            return  # nothing stacked — avoid churning a single gen
         tmp = self.state / sub / "_compacting.parquet"
         live.write.mode("overwrite").parquet(str(tmp))
-        for p in sorted((self.state / sub).glob("gen_*.parquet")):
+        for p in gens:
             shutil.rmtree(p, ignore_errors=True)
         tmp.rename(self.state / sub / "gen_00001.parquet")
 
