@@ -245,3 +245,53 @@ def test_pack_sequences_budget_property(spark, corpus):
         bins = [b for _, b in seq]
         assert bins == sorted(bins)
         assert bins[0] == 0
+
+
+def test_dup_clusters_fuzz_vs_union_find(spark):
+    """Randomized graphs: min-label propagation must equal a plain
+    union-find's min-id components, including long chains that need
+    several propagation rounds."""
+    import random
+
+    from bm25_chroma_spark.operators.dedup import dup_clusters
+
+    def union_find(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for x in range(n):
+            comp.setdefault(find(x), []).append(x)
+        return {x: min(m) for m in comp.values() for x in m}
+
+    for trial in range(4):
+        rng = random.Random(trial * 7 + 1)
+        n = rng.randint(6, 30)
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(0, 2 * n))
+        })
+        # always include one long chain (worst case for propagation)
+        chain = list(range(0, min(n, 8)))
+        edges = sorted(set(edges) | {
+            (chain[i], chain[i + 1]) for i in range(len(chain) - 1)
+        })
+        want = union_find(n, edges)
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, ids=ids).collect()
+        }
+        assert got == want, (trial, n, edges)
