@@ -319,17 +319,27 @@ def dup_clusters(
     pairs: DataFrame,
     ids: Optional[DataFrame] = None,
     id_col: str = "doc_id",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id),
     cluster_id = smallest id in the component.
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels; converges in O(component
-    diameter) rounds. Near-dup components are small and dense (they
-    are duplicate clusters), so 2-4 rounds typically suffice; each
-    round is one shuffle join + groupBy — no driver-side graph ever
-    materializes, which is what makes this shape survive 100 TB.
+    Min-label propagation WITH pointer jumping: each round every node
+    takes the min of its own and its neighbors' labels, then
+    shortcuts to its label's label (labels are always ids of
+    connected nodes, so the lookup hits every row). Plain propagation
+    converges in O(component diameter) rounds — a silent correctness
+    hazard for long near-dup chains (templated/boilerplate corpora
+    produce v1~=v2~=...~=v40 chains); the jump step compresses label
+    paths so convergence is O(log diameter). Each round is a couple
+    of shuffle joins — no driver-side graph ever materializes, which
+    is what makes this shape survive 100 TB.
+
+    The loop runs UNTIL a full round changes nothing; ``max_iter`` is
+    a safety cap, and hitting it RAISES rather than returning
+    silently-unconverged (wrong) cluster ids. At the fixpoint every
+    node's label <= all neighbors' labels, which forces labels to be
+    constant per component and equal to the component minimum.
     ``ids`` (optional, one ``id_col`` column) adds isolated docs as
     singleton clusters so the output covers the whole corpus.
     """
@@ -345,6 +355,7 @@ def dup_clusters(
         .withColumn("lbl", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -357,27 +368,52 @@ def dup_clusters(
             .agg(F.min("nlbl").alias("min_neigh"))
             .withColumnRenamed("a", "id")
         )
-        new_labels = (
-            labels.join(neigh, "id", "left")
+        prop = (
+            labels.withColumnRenamed("lbl", "old")
+            .join(neigh, "id", "left")
             .select(
                 "id",
+                "old",
                 F.least(
-                    F.col("lbl"), F.coalesce("min_neigh", "lbl")
-                ).alias("new_lbl"),
-                "lbl",
+                    F.col("old"), F.coalesce("min_neigh", "old")
+                ).alias("lbl"),
             )
-        ).persist()
-        changed = new_labels.filter(
-            F.col("new_lbl") != F.col("lbl")
+        )
+        # pointer jump: lbl <- min(lbl, lbl[lbl]) — halves every
+        # label-chain's depth, turning O(diameter) into O(log)
+        lut = prop.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("jump")
+        )
+        jumped = (
+            prop.join(lut, "lbl", "left")
+            .select(
+                "id",
+                "old",
+                F.least(
+                    F.col("lbl"), F.coalesce("jump", "lbl")
+                ).alias("new_lbl"),
+            )
+            .persist()
+        )
+        changed = jumped.filter(
+            F.col("new_lbl") != F.col("old")
         ).count()
         old = labels
-        labels = new_labels.select(
+        labels = jumped.select(
             "id", F.col("new_lbl").alias("lbl")
         ).persist()
         old.unpersist()
-        new_labels.unpersist()
+        jumped.unpersist()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dup_clusters failed to converge within max_iter={max_iter} "
+            "rounds — with pointer jumping this needs a component of "
+            f"diameter ~2^{max_iter}; something is wrong with the input"
+        )
     out = labels.select("id", F.col("lbl").alias("cluster_id"))
     if ids is not None:
         singletons = ids.select(F.col(id_col).alias("id")).join(
@@ -418,6 +454,15 @@ def embedding_near_dups(
 
     use_lsh=True blocks by random-hyperplane bucket (the scale path);
     False scores all pairs (oracle path for small data).
+
+    Shuffle discipline (the 100 TB story): candidate generation is
+    ID-ONLY — per-table signatures come out of ONE pass over the
+    vectors (posexplode of the n_tables signature longs), the bucket
+    self-join and the cross-table dedup shuffle bare (id, id) pairs,
+    and the full vectors are joined back exactly once for the final
+    cosine. Shipping vec_a/vec_b through every per-table join (and
+    again through dropDuplicates) would make 1k-dim vectors the
+    dominant shuffle cost at scale.
     """
     from bm25_chroma_spark.operators.knn import (
         _dot,
@@ -432,25 +477,35 @@ def embedding_near_dups(
     )
     if use_lsh:
         dim = len(e.select("vec").first()["vec"])
-        cand = None
-        for t in range(n_tables):
-            planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-            sigged = e.select(
-                "id", "vec", _signature(F.col("vec"), planes).alias("sig")
+        sig_cols = [
+            _signature(
+                F.col("vec"), hyperplanes(dim, n_planes, seed=seed + 1000 * t)
             )
-            l, r = sigged.alias("l"), sigged.alias("r")
-            p = l.join(
+            for t in range(n_tables)
+        ]
+        sigged = e.select(
+            "id", F.posexplode(F.array(*sig_cols)).alias("tbl", "sig")
+        )
+        l, r = sigged.alias("l"), sigged.alias("r")
+        pairs = (
+            l.join(
                 r,
-                (F.col("l.sig") == F.col("r.sig"))
+                (F.col("l.tbl") == F.col("r.tbl"))
+                & (F.col("l.sig") == F.col("r.sig"))
                 & (F.col("l.id") < F.col("r.id")),
-            ).select(
-                F.col("l.id").alias("id_a"),
-                F.col("l.vec").alias("vec_a"),
-                F.col("r.id").alias("id_b"),
-                F.col("r.vec").alias("vec_b"),
             )
-            cand = p if cand is None else cand.unionByName(p)
-        cand = cand.dropDuplicates(["id_a", "id_b"])
+            .select(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+            .distinct()
+        )
+        cand = pairs.join(
+            e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")),
+            "id_a",
+        ).join(
+            e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")),
+            "id_b",
+        )
     else:
         l = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
         r = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))

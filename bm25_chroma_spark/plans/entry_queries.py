@@ -741,12 +741,16 @@ FROM m
 """
 
 _ORACLES["seq_packing"] = rf"""
+-- pack_group mirrors Spark's F.pmod (always non-negative); DuckDB's
+-- % is sign-preserving, so the double-mod keeps the two engines
+-- identical for negative (e.g. xxhash64-derived) doc ids.
 WITH t AS (
   SELECT doc_id,
          (CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
           END)::INT AS n_tokens,
-         (doc_id % {PACK_GROUPS})::INT AS pack_group
+         (((doc_id % {PACK_GROUPS}) + {PACK_GROUPS})
+            % {PACK_GROUPS})::INT AS pack_group
   FROM documents
 ),
 c AS (

@@ -124,12 +124,23 @@ class SparkHybridRetriever:
     ):
         """auto_compact_after: fold DML generations back into the base
         once that many accumulate (bounds read amplification under
-        sustained DML; 0/None disables)."""
+        sustained DML; 0/None disables).
+
+        The default config is LOSSLESS (no posting caps): the
+        retriever's index is the sharded path, whose query guard
+        refuses silently-diverging caps — with the reference defaults
+        (query cap 1000) any corpus over ~1000 docs containing a
+        common query term would make query() raise. Callers that want
+        reference cap semantics pass an explicit config and use the
+        logical path."""
         self.spark = spark
         self.state = Path(state_path)
         self.embed = embedding_function or hashed_bow_embedder
         self.config = config or BM25Config(
-            num_term_buckets=8, salt_factor=4
+            max_postings_per_term=None,
+            query_postings_cap=None,
+            num_term_buckets=8,
+            salt_factor=4,
         )
         self.bucket_groups = bucket_groups
         self.auto_compact_after = auto_compact_after

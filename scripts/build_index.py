@@ -37,7 +37,11 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--segments", type=int, default=16)
     ap.add_argument("--groups", type=int, default=4)
-    ap.add_argument("--max-postings", type=int, default=5000)
+    # default 0 = lossless (no build cap): the out-of-the-box sharded
+    # index must never refuse hot-term queries; pass a positive cap
+    # for reference-parity runs (build-cap semantics are honored on
+    # the sharded path; the query-time cap stays logical-path only)
+    ap.add_argument("--max-postings", type=int, default=0)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 

@@ -247,6 +247,73 @@ def test_pack_sequences_budget_property(spark, corpus):
         assert bins[0] == 0
 
 
+def test_dup_clusters_long_chain_converges(spark):
+    """A 41-node near-dup chain (diameter 40 — templated/boilerplate
+    corpora really produce these): plain min-label propagation needs
+    40 rounds and used to exit silently-wrong at max_iter=20; pointer
+    jumping must converge it in O(log) rounds to a single cluster."""
+    from bm25_chroma_spark.operators.dedup import dup_clusters
+
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dup_clusters_raises_instead_of_silent_nonconvergence(spark):
+    """max_iter is a safety cap that RAISES, never returns wrong
+    labels (ADVICE r2: silent non-convergence splits true clusters)."""
+    import pytest as _pytest
+
+    from bm25_chroma_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        dup_clusters(pairs, max_iter=1).collect()
+
+
+def test_pack_sequences_negative_ids_match_duckdb_oracle(spark):
+    """Spark F.pmod is non-negative, DuckDB % is sign-preserving: the
+    seq_packing oracle double-mods so both engines agree on pack_group
+    for negative (xxhash64-style) doc ids."""
+    import duckdb
+
+    from bm25_chroma_spark.functions.text_analysis import pack_sequences
+    from bm25_chroma_spark.plans.entry_queries import _ORACLES
+
+    rows = [
+        (-17, "alpha beta gamma"),
+        (-3, "one two three four five"),
+        (-1, "x"),
+        (0, "y z"),
+        (5, "a b c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["pack_group"], r["pack_bin"])
+        for r in pack_sequences(df, max_tokens=4, n_groups=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    # the module-level oracle is baked with PACK_MAX_TOKENS=256 and
+    # PACK_GROUPS=8; groups already match, rebind max_tokens to 4
+    sql = _ORACLES["seq_packing"].replace("256", "4")
+    want = {
+        r[0]: (r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
+    assert got == want
+
+
 def test_dup_clusters_fuzz_vs_union_find(spark):
     """Randomized graphs: min-label propagation must equal a plain
     union-find's min-id components, including long chains that need
