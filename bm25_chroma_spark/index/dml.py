@@ -81,12 +81,30 @@ def apply_dml(
 
     from bm25_chroma_spark.index.shards import ShardedIndex, hash_segment_np
 
+    import shutil
+
     base = Path(index_dir)
+    # ShardedIndex.refresh() runs crash recovery (finish a committed
+    # compaction, reconcile stats with rename-committed generations)
+    # before we read stats
+    index = ShardedIndex(spark, index_dir)
     stats = _read_stats(base)
     cfg = BM25Config(**stats["config"])
-    gen = int(stats.get("generation", 0)) + 1
-
-    index = ShardedIndex(spark, index_dir)
+    gen_root = base / "gen"
+    gen_root.mkdir(parents=True, exist_ok=True)
+    # next generation = 1 + max(stats, dirs on disk): recover_index
+    # already reconciled these, but stay defensive — colliding with an
+    # existing dir would fail the commit rename
+    disk_gens = [
+        int(d.name.split("_")[1]) for d in gen_root.glob("gen_*")
+    ]
+    gen = max([int(stats.get("generation", 0))] + disk_gens) + 1
+    # leftover staging dirs from a crashed DML are invisible to
+    # readers (dot-prefixed, outside the gen_* glob) — clear them
+    for d in gen_root.glob(".tmp_gen_*"):
+        shutil.rmtree(d, ignore_errors=True)
+    tmp_dir = gen_root / f".tmp_gen_{gen:05d}"
+    gen_dir = gen_root / f"gen_{gen:05d}"
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     upserts = (upserts or empty).select(
@@ -177,9 +195,8 @@ def apply_dml(
                 "min_dl: int, doc_off: int, tf_off: int, dl_off: int>>"
             ).alias("blocks"),
         )
-        gen_dir = base / "gen" / f"gen_{gen:05d}"
         encoded.unionByName(gone).write.mode("overwrite").parquet(
-            str(gen_dir / "shards")
+            str(tmp_dir / "shards")
         )
         encoded.unpersist()
         aff_shards.unpersist()
@@ -193,10 +210,19 @@ def apply_dml(
     ).select("doc_id", F.lit(0).alias("dl")).unionByName(
         new_tok.select("doc_id", "dl")
     )
-    gen_dir = base / "gen" / f"gen_{gen:05d}"
-    ds_delta.write.mode("overwrite").parquet(str(gen_dir / "doc_stats"))
+    ds_delta.write.mode("overwrite").parquet(str(tmp_dir / "doc_stats"))
     new_tok.unpersist()
     affected_terms_df.unpersist()
+
+    # COMMIT POINT: one atomic rename publishes the complete
+    # generation (shards + doc_stats together) to readers. A crash
+    # before this leaves only the invisible .tmp_ staging dir (readers
+    # glob gen_*); a crash after — before the stats write below — is
+    # healed by recover_index() on next open, which reconciles
+    # stats.json with the generations that landed on disk. This closes
+    # the torn-generation window where gen_K/shards was visible to the
+    # overlay before gen_K/doc_stats and stats.json existed.
+    tmp_dir.rename(gen_dir)
 
     # recompute corpus stats over live docs (cheap narrow agg)
     live = _live_doc_stats(spark, base, upto_gen=gen)
@@ -215,18 +241,93 @@ def apply_dml(
     }
 
 
+_COMPACT_MARKER = "compaction_commit.json"
+
+
+def _finish_compaction(base: Path) -> bool:
+    """Idempotently replay the destructive promote steps of a
+    committed compaction. Called by compact_index itself and by
+    recover_index() on every index open, so a crash anywhere after
+    the commit marker lands loses nothing: the compacted data in
+    ``*_compacting`` is authoritative the moment the marker exists,
+    and every step below is guarded by existence checks so replay
+    from any intermediate crash point converges to the same state.
+    Returns True when a marker was found and finished."""
+    import shutil
+
+    marker = base / _COMPACT_MARKER
+    if not marker.exists():
+        return False
+    tmp = base / "shards_compacting"
+    if tmp.exists():
+        shutil.rmtree(base / "shards", ignore_errors=True)
+        tmp.rename(base / "shards")
+    ds_tmp = base / "doc_stats_compacting"
+    if ds_tmp.exists():
+        shutil.rmtree(base / "doc_stats.parquet", ignore_errors=True)
+        ds_tmp.rename(base / "doc_stats.parquet")
+    shutil.rmtree(base / "gen", ignore_errors=True)
+    stats = _read_stats(base)
+    if int(stats.get("generation", 0)) != 0:
+        stats["generation"] = 0
+        _write_stats(base, stats)
+    marker.unlink()
+    return True
+
+
+def recover_index(spark: SparkSession, base: Path) -> dict:
+    """Crash recovery on index open (ShardedIndex.refresh calls this):
+
+    1. finish a committed-but-unpromoted compaction (marker protocol,
+       see _finish_compaction);
+    2. reconcile stats.json with DML generations that rename-committed
+       but whose stats write was lost (apply_dml publishes the gen dir
+       atomically BEFORE updating stats.json) — recompute N/avgdl over
+       the live overlay and bump the recorded generation.
+
+    Idempotent; on a clean index this is a marker check + a glob.
+    Returns the (possibly updated) stats dict."""
+    _finish_compaction(base)
+    stats = _read_stats(base)
+    gen_root = base / "gen"
+    disk = (
+        [int(d.name.split("_")[1]) for d in gen_root.glob("gen_*")]
+        if gen_root.exists()
+        else []
+    )
+    disk_gen = max(disk) if disk else 0
+    if disk_gen > int(stats.get("generation", 0)):
+        row = _live_doc_stats(spark, base).agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        stats["n_docs"] = int(row["n"] or 0)
+        stats["avgdl"] = float(row["avgdl"] or 0.0)
+        stats["generation"] = disk_gen
+        _write_stats(base, stats)
+    return stats
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Fold all DML generations back into a clean base: newest live
     (term, segment) rows become generation-0 shards, doc_stats
     collapses to live rows, gen dirs are dropped. Readers see
     identical content before and after; read amplification returns
     to one layer. (The LSM maintenance step — run when the
-    generation count grows.)"""
+    generation count grows.)
+
+    Crash-atomic: the compacted shards and doc_stats are fully
+    written to ``*_compacting`` staging dirs first, then a commit
+    marker lands, and only then are the old dirs destroyed/replaced
+    (rename promote). A crash before the marker leaves the live index
+    untouched (stale staging dirs are overwritten next run); a crash
+    after the marker is finished idempotently by _finish_compaction
+    on the next open."""
     import shutil
 
     from pyspark.sql import Window
 
     base = Path(index_dir)
+    _finish_compaction(base)  # heal a previously crashed compaction
     stats = _read_stats(base)
     cfg = BM25Config(**stats["config"])
     gen_root = base / "gen"
@@ -271,18 +372,16 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
     ds = _live_doc_stats(spark, base)
     ds_tmp = base / "doc_stats_compacting"
+    shutil.rmtree(ds_tmp, ignore_errors=True)
     ds.write.mode("overwrite").parquet(str(ds_tmp))
 
-    old = base / "shards"
-    shutil.rmtree(str(old))
-    tmp.rename(old)
-    shutil.rmtree(str(base / "doc_stats.parquet"))
-    ds_tmp.rename(base / "doc_stats.parquet")
-    shutil.rmtree(str(gen_root))
-
     prev_gen = stats.get("generation", 0)
-    stats["generation"] = 0
-    _write_stats(base, stats)
+    # COMMIT POINT: both staging dirs are complete; after the marker
+    # lands the promote is replayable from any crash
+    (base / _COMPACT_MARKER).write_text(
+        json.dumps({"folded_generations": prev_gen})
+    )
+    _finish_compaction(base)
     return {"compacted": True, "folded_generations": prev_gen}
 
 

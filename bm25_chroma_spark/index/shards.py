@@ -496,8 +496,14 @@ class ShardedIndex:
 
     def refresh(self) -> "ShardedIndex":
         """Re-read stats.json (N/avgdl/generation move under DML) and
-        drop cached scan plans (their file listings go stale)."""
-        stats = json.loads((self.path / "stats.json").read_text())
+        drop cached scan plans (their file listings go stale). Runs
+        crash recovery first (recover_index): finishes a committed
+        compaction and reconciles stats with rename-committed DML
+        generations — on a clean index that is a marker check plus a
+        directory glob."""
+        from bm25_chroma_spark.index.dml import recover_index
+
+        stats = recover_index(self.spark, self.path)
         self.n_docs: int = stats["n_docs"]
         self.avgdl: float = stats["avgdl"]
         self.generation: int = int(stats.get("generation", 0))

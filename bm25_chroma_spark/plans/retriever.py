@@ -410,16 +410,24 @@ class SparkHybridRetriever:
 
     def _compact_store(self, sub: str, live: DataFrame) -> None:
         """Collapse a generation-stacked parquet store to one live
-        generation: write the live view to a scratch dir (pinning it),
-        drop the old gen files, promote the scratch as gen 1."""
+        generation, crash-atomically: write the live view to a
+        scratch dir (pinning it), atomically RENAME it in as the
+        NEWEST generation — the newest-wins overlay makes the
+        snapshot authoritative the instant the rename lands, while
+        tombstoned doc_uids simply stay absent from it — and only
+        then drop the now-redundant older gen files. A crash at any
+        point leaves a readable, semantically identical store (the
+        scratch dir is invisible to the gen_* glob; undeleted old
+        gens are shadowed, never required)."""
         gens = sorted((self.state / sub).glob("gen_*.parquet"))
         if len(gens) <= 1:
             return  # nothing stacked — avoid churning a single gen
         tmp = self.state / sub / "_compacting.parquet"
+        shutil.rmtree(tmp, ignore_errors=True)
         live.write.mode("overwrite").parquet(str(tmp))
+        tmp.rename(self._next_gen(sub))  # commit point
         for p in gens:
             shutil.rmtree(p, ignore_errors=True)
-        tmp.rename(self.state / sub / "gen_00001.parquet")
 
     def reset_collection(self) -> None:
         for sub in ("corpus", "vectors", "index"):
