@@ -22,11 +22,16 @@ class BM25Config:
     # Index-build cap: keep only the top-N postings per term by
     # (tf desc, doc_id asc). The reference also uses the *capped*
     # list length as df inside IDF (bm25.py:307) — we replicate that.
-    # None disables the cap (the at-scale lossless mode).
+    # Honored by BOTH paths: logical (sorted-array truncation) and
+    # sharded (per-term global thresholds applied at encode time and
+    # re-applied on DML merges). None disables (at-scale lossless).
     max_postings_per_term: Optional[int] = 5000
 
     # Query-time cap: score only the first N postings of each term's
-    # list (reference bm25.py:283). None disables.
+    # tf-ordered list (reference bm25.py:283). Logical-path-only
+    # semantics — the sharded path raises if it would bind (its
+    # doc-ordered segments cannot reproduce the traversal order).
+    # None disables.
     query_postings_cap: Optional[int] = 1000
 
     # RRF constant (reference hybrid_retriever.py:13)
@@ -46,10 +51,11 @@ class BM25Config:
 
 DEFAULT_CONFIG = BM25Config()
 
-# The at-scale mode: no posting caps anywhere. The reference's caps
-# are tf-ordered-list semantics the doc-ordered sharded path refuses
-# to silently approximate (index/wand.py guard); production corpora
-# run lossless.
+# The at-scale mode: no posting caps anywhere. The build cap is
+# reference-parity lossy truncation (honored physically by the
+# sharded build); the query cap is a tf-ordered traversal semantic
+# the sharded path refuses when it would bind (index/wand.py guard).
+# Production corpora run lossless.
 LOSSLESS_CONFIG = BM25Config(
     max_postings_per_term=None, query_postings_cap=None
 )

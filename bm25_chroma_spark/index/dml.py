@@ -156,6 +156,23 @@ def apply_dml(
         merged = old.select("term", "doc_id", "tf", "dl").unionByName(
             new_flat
         )
+        if cfg.max_postings_per_term:
+            # reference flush semantics (bm25.py:176-195): merge the
+            # surviving stored postings (already capped — evicted ones
+            # never come back) with the batch's new postings, then
+            # re-truncate to the cap in (tf desc, doc_id asc) order.
+            # Affected-term postings are bounded (<= cap + batch), so
+            # a per-term rank window is safe here.
+            from pyspark.sql import Window
+
+            w_cap = Window.partitionBy("term").orderBy(
+                F.desc("tf"), F.asc("doc_id")
+            )
+            merged = (
+                merged.withColumn("rn", F.row_number().over(w_cap))
+                .filter(F.col("rn") <= cfg.max_postings_per_term)
+                .drop("rn")
+            )
         keyed = merged.select(
             "term",
             "doc_id",

@@ -203,10 +203,20 @@ def _merge_encode_bucket_segment(
     pdf: pd.DataFrame, block_size: int
 ) -> pd.DataFrame:
     """Final merge of map-side partials for one (bucket, segment):
-    concatenate each term's arrays, sort by doc_id, encode."""
+    concatenate each term's arrays, apply the build-cap keep
+    predicate when a threshold is present (columns thr_tf/thr_doc,
+    null for under-cap terms), sort by doc_id, encode.
+
+    The keep predicate ``tf > thr_tf OR (tf == thr_tf AND doc_id <=
+    thr_doc)`` — where (thr_tf, thr_doc) is the cap-th posting in the
+    reference's total order (tf desc, doc_id asc), computed globally
+    per term by _cap_thresholds — selects exactly the global top-cap
+    inside each segment independently, so the cap distributes with no
+    cross-segment coordination at encode time."""
     out = []
     bucket = int(pdf["bucket"].iloc[0])
     segment = int(pdf["segment"].iloc[0])
+    has_thr = "thr_tf" in pdf.columns
     for term, grp in pdf.groupby("term", sort=False):
         doc_ids = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x in grp["doc_ids"]]
@@ -217,6 +227,15 @@ def _merge_encode_bucket_segment(
         dls = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x in grp["dls"]]
         )
+        if has_thr and not pd.isna(grp["thr_tf"].iloc[0]):
+            thr_tf = int(grp["thr_tf"].iloc[0])
+            thr_doc = int(grp["thr_doc"].iloc[0])
+            keep = (tfs > thr_tf) | (
+                (tfs == thr_tf) & (doc_ids <= thr_doc)
+            )
+            doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+            if doc_ids.size == 0:
+                continue  # this segment holds none of the top-cap
         order = np.argsort(doc_ids, kind="mergesort")
         enc = encode_postings(
             doc_ids[order], tfs[order], dls[order], block_size=block_size
@@ -234,6 +253,60 @@ def _merge_encode_bucket_segment(
             }
         )
     return pd.DataFrame(out)
+
+
+def _cap_thresholds(partials: DataFrame, cap: int) -> DataFrame:
+    """-> (term, thr_tf, thr_doc): the cap-th posting per over-cap
+    term in the reference's build-cap order (tf desc, doc_id asc;
+    bm25.py:56,190-191). Terms at or under the cap are absent (their
+    threshold join comes back null = keep everything).
+
+    Distributed shape: a cheap per-term count prunes to over-cap
+    terms only, their postings explode, and a TWO-STAGE top-cap
+    bounds the skew — per-(term, segment) top-cap first (the order is
+    total, so per-part top-caps are a superset of the global
+    top-cap), then the global cap-th row over at most cap x segments
+    rows per term. Both windows are rank<=k, which Spark executes as
+    WindowGroupLimit (per-partition running top-k, no full group
+    sort/materialization)."""
+    from pyspark.sql import Window
+
+    counts = partials.groupBy("term").agg(
+        F.sum(F.size("doc_ids")).alias("cnt")
+    )
+    over = counts.filter(F.col("cnt") > cap).select("term")
+    flat = (
+        partials.join(over, "term", "left_semi")
+        .select(
+            "term",
+            "segment",
+            F.explode(F.arrays_zip("doc_ids", "tfs")).alias("z"),
+        )
+        .select(
+            "term",
+            "segment",
+            F.col("z.doc_ids").alias("doc_id"),
+            F.col("z.tfs").cast("long").alias("tf"),
+        )
+    )
+    w1 = Window.partitionBy("term", "segment").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    per_seg = (
+        flat.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        per_seg.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == cap)
+        .select(
+            "term",
+            F.col("tf").alias("thr_tf"),
+            F.col("doc_id").alias("thr_doc"),
+        )
+    )
 
 
 def build_sharded_index(
@@ -384,6 +457,22 @@ def build_sharded_index(
     )
     block_size = config.block_size
 
+    # Build cap (reference bm25.py:190-191): materialize the per-term
+    # keep-thresholds once (tiny — one row per over-cap term) so every
+    # group job broadcast-joins them; the encode UDF applies the keep
+    # predicate per segment. This makes the sharded path honor the
+    # reference's tf-ordered build cap physically — the query-path
+    # guard then only covers the query-time cap. Lossless (cap=None)
+    # stays the at-scale mode; capped mode is reference parity.
+    thr_df = None
+    if config.max_postings_per_term and pending and partials is not None:
+        thr_pdf = _cap_thresholds(
+            partials, config.max_postings_per_term
+        ).toPandas()
+        thr_df = spark.createDataFrame(
+            thr_pdf, "term string, thr_tf long, thr_doc long"
+        ) if len(thr_pdf) else None
+
     def _build_group(g: int) -> dict:
         """One bucket group: merge+encode+write with metrics observed
         during the write (single job), manifest on completion."""
@@ -391,6 +480,8 @@ def build_sharded_index(
         part = partials.filter(
             F.pmod(F.col("bucket"), F.lit(bucket_groups)) == g
         )
+        if thr_df is not None:
+            part = part.join(F.broadcast(thr_df), "term", "left")
         obs = Observation(f"group_{g}_metrics")
         shards = part.groupBy("bucket", "segment").applyInPandas(
             lambda pdf: _merge_encode_bucket_segment(pdf, block_size),

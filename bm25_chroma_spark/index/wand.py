@@ -31,13 +31,18 @@ Pruning uses a conservative epsilon (skip only when the bound is
 below threshold - 1e-12) so float drift can never drop a true top-k
 member; final ranking is exact on the surviving candidates.
 
-The posting caps (reference bm25.py:190-191 build, :283 query) are
-semantics of the *logical* tf-ordered list; the sharded path stores
-doc-ordered segments and implements uncapped scoring. This is
-ENFORCED, not assumed: ``search_sharded`` raises when a configured
-cap would actually bind for a queried term, so it can never silently
-diverge from the reference — disable the caps (the at-scale lossless
-mode) or use the logical path when caps matter.
+Posting-cap semantics: the BUILD cap (reference bm25.py:190-191) is
+honored physically by the sharded build — per-term global top-cap in
+(tf desc, doc_id asc) order via threshold filtering at encode time
+(shards.py _cap_thresholds), re-applied on every DML merge — so
+capped indexes score rank-identically to the reference. The QUERY
+cap (bm25.py:283 — score only the first N postings of the tf-ordered
+list) is a traversal-order semantic the doc-ordered segments cannot
+reproduce; that one is ENFORCED, not assumed: ``search_sharded``
+raises when a configured query cap would actually bind for a queried
+term, so it can never silently diverge — disable it (the at-scale
+lossless mode) or use the logical path when query-cap semantics
+matter.
 """
 
 from __future__ import annotations
@@ -355,50 +360,39 @@ def search_sharded(
     n, avgdl = float(index.n_docs), float(index.avgdl)
 
     # Per-term global df (sum over segments). Two execution shapes:
-    # * caps configured or strategy='auto' → collect driver-side
-    #   (bounded by the query's term count) to ENFORCE the cap
+    # * query cap configured or strategy='auto' → collect driver-side
+    #   (bounded by the query's term count) to ENFORCE the query-cap
     #   contract — the sharded path stores doc-ordered segments and
-    #   cannot reproduce the reference's tf-ordered caps
-    #   (bm25.py:190-191, :283), so it refuses instead of silently
-    #   diverging — and/or to feed the auto-strategy rule.
-    # * lossless config with an explicit strategy → keep the df agg as
-    #   a plan subtree under the broadcast join (no driver roundtrip).
-    set_caps = [
-        c
-        for c in (cfg.max_postings_per_term, cfg.query_postings_cap)
-        if c is not None
-    ]
+    #   cannot reproduce the reference's tf-ordered QUERY cap
+    #   (bm25.py:283), so it refuses instead of silently diverging —
+    #   and/or to feed the auto-strategy rule. (The BUILD cap needs no
+    #   guard: the sharded build honors it physically, so stored dfs
+    #   are already the capped dfs the reference feeds into IDF.)
+    # * otherwise, with an explicit strategy → keep the df agg as a
+    #   plan subtree under the broadcast join (no driver roundtrip).
+    qcap = cfg.query_postings_cap
     dfs_subtree = shards.groupBy("term").agg(F.sum("df").alias("df"))
-    if set_caps or strategy == "auto":
+    if qcap is not None or strategy == "auto":
         df_rows = dfs_subtree.collect()
-        if set_caps:
-            limit = min(set_caps)
+        if qcap is not None:
             hot = sorted(
                 (r["term"], int(r["df"]))
                 for r in df_rows
-                if r["df"] > limit
+                if r["df"] > qcap
             )
             if hot:
                 raise NotImplementedError(
                     "sharded search cannot reproduce the reference's "
-                    "tf-ordered posting caps and these query terms "
-                    f"exceed the configured cap ({limit}): {hot[:5]}. "
-                    "Build/query with max_postings_per_term=None and "
-                    "query_postings_cap=None (the at-scale lossless "
-                    "mode) or use the logical path "
-                    "(bm25_score_queries) for reference cap semantics."
+                    "tf-ordered query-time posting cap and these "
+                    f"query terms exceed it ({qcap}): {hot[:5]}. "
+                    "Query with query_postings_cap=None (the at-scale "
+                    "lossless mode) or use the logical path "
+                    "(bm25_score_queries) for reference query-cap "
+                    "semantics. (The build cap is fine: the sharded "
+                    "build honors it physically.)"
                 )
-        build_cap = cfg.max_postings_per_term
         dfs = spark.createDataFrame(
-            [
-                (
-                    r["term"],
-                    min(int(r["df"]), build_cap)
-                    if build_cap
-                    else int(r["df"]),
-                )
-                for r in df_rows
-            ],
+            [(r["term"], int(r["df"])) for r in df_rows],
             "term string, df long",
         )
         if strategy == "auto":

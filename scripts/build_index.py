@@ -60,9 +60,8 @@ def main() -> None:
         num_term_buckets=args.buckets,
         salt_factor=args.segments,
         max_postings_per_term=args.max_postings or None,
-        # lossless at scale: the sharded query path refuses binding
-        # caps (reference tf-ordered cap semantics are logical-path
-        # only), so production indexes run uncapped
+        # the query-time cap stays off: it is a tf-ordered traversal
+        # semantic the sharded query path refuses when binding
         query_postings_cap=None,
     )
     metrics = build_sharded_index(

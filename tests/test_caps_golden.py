@@ -92,6 +92,121 @@ def test_caps_rank_identical_to_reference(
         )
 
 
+def test_sharded_build_cap_rank_identical_to_reference(
+    spark, reference_bm25_cls, tmp_path
+):
+    """The SHARDED path honors the build cap physically (per-term
+    global top-cap thresholds applied at encode time): a capped
+    sharded index must score rank- AND value-identically to the
+    reference with the same cap."""
+    from bm25_chroma_spark.index.shards import (
+        ShardedIndex,
+        build_sharded_index,
+    )
+    from bm25_chroma_spark.index.wand import search_sharded
+
+    docs = _corpus(12)
+    ref = reference_bm25_cls(max_postings_per_term=5)
+    ref.add_chunks_batch([(str(i), t) for i, t in docs])
+    want = {int(c): s for c, s in ref.search("hot hot", top_k=20)}
+
+    cfg = BM25Config(
+        max_postings_per_term=5,
+        query_postings_cap=None,
+        num_term_buckets=4,
+        salt_factor=3,
+        block_size=4,
+    )
+    sdocs = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "capped_idx")
+    build_sharded_index(sdocs, out, config=cfg, bucket_groups=2)
+    idx = ShardedIndex(spark, out)
+
+    # stored df is the capped df (feeds IDF like the reference)
+    from pyspark.sql import functions as F
+
+    df_hot = (
+        idx.shards_for_terms(["hot"])
+        .agg(F.sum("df").alias("df"))
+        .collect()[0]["df"]
+    )
+    assert df_hot == 5
+
+    for strategy in ("exhaustive", "wand"):
+        got = {
+            r["doc_id"]: r["score"]
+            for r in search_sharded(
+                idx, [(1, "hot hot")], top_k=20, strategy=strategy
+            ).collect()
+        }
+        assert set(got) == set(want), strategy
+        for d in want:
+            assert math.isclose(got[d], want[d], rel_tol=1e-9), (
+                strategy, d, got[d], want[d],
+            )
+
+
+def test_sharded_build_cap_dml_matches_reference(
+    spark, reference_bm25_cls, tmp_path
+):
+    """Cap semantics under DML: postings evicted by an earlier
+    truncation never come back on delete, and an add re-truncates the
+    merged list — both exactly as the reference's flush does
+    (bm25.py:176-195, 227-258)."""
+    from bm25_chroma_spark.index.dml import apply_dml
+    from bm25_chroma_spark.index.shards import (
+        ShardedIndex,
+        build_sharded_index,
+    )
+    from bm25_chroma_spark.index.wand import search_sharded
+
+    docs = _corpus(12)
+    ref = reference_bm25_cls(max_postings_per_term=5)
+    ref.add_chunks_batch([(str(i), t) for i, t in docs])
+
+    cfg = BM25Config(
+        max_postings_per_term=5,
+        query_postings_cap=None,
+        num_term_buckets=4,
+        salt_factor=3,
+        block_size=4,
+    )
+    sdocs = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "capped_dml_idx")
+    build_sharded_index(sdocs, out, config=cfg, bucket_groups=2)
+
+    # delete doc 11 (tf 12 — INSIDE the capped top-5 of 'hot'): the
+    # reference does not backfill from evicted postings, nor do we
+    ref.remove_chunk("11")
+    apply_dml(
+        spark,
+        out,
+        delete_docs=spark.createDataFrame(
+            [docs[11]], "doc_id long, text string"
+        ),
+    )
+    # add a new doc with a mid tf: reference merges + re-truncates
+    new_doc = (50, " ".join(["hot"] * 9 + ["fresh"]))
+    ref.add_chunks_batch([(str(new_doc[0]), new_doc[1])])
+    apply_dml(
+        spark,
+        out,
+        upserts=spark.createDataFrame([new_doc], "doc_id long, text string"),
+    )
+
+    want = {int(c): s for c, s in ref.search("hot hot", top_k=20)}
+    idx = ShardedIndex(spark, out)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_sharded(idx, [(1, "hot hot")], top_k=20).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert math.isclose(got[d], want[d], rel_tol=1e-9), (
+            d, got[d], want[d],
+        )
+
+
 def test_build_cap_feeds_idf(spark, reference_bm25_cls):
     """df used in IDF is the CAPPED list length (reference quirk)."""
     docs = _corpus(10)

@@ -283,24 +283,26 @@ def test_resume_after_crash(spark, docs_df, tmp_path_factory):
     assert metrics["postings"] > 0
 
 
-def test_sharded_refuses_binding_caps(spark, tmp_path_factory):
-    """The sharded path cannot reproduce tf-ordered cap semantics —
-    it must raise (not silently diverge) when a configured cap binds
-    for a queried term."""
+def test_sharded_refuses_binding_query_cap(spark, tmp_path_factory):
+    """The sharded path cannot reproduce the tf-ordered QUERY-cap
+    traversal (bm25.py:283) — it must raise (not silently diverge)
+    when the query cap binds for a queried term. (The BUILD cap is
+    honored physically since r3 — see test_caps_golden's sharded
+    parity tests — so it no longer refuses.)"""
     from dataclasses import replace
 
     docs = spark.createDataFrame(
         [(i, "hot common word") for i in range(12)],
         "doc_id long, text string",
     )
-    cfg = replace(CFG, max_postings_per_term=5, query_postings_cap=None)
+    cfg = replace(CFG, max_postings_per_term=None, query_postings_cap=5)
     out = str(tmp_path_factory.mktemp("index") / "capguard_v1")
     build_sharded_index(docs, out, config=cfg, bucket_groups=1)
     idx = ShardedIndex(spark, out)
     q = spark.createDataFrame(
         [(1, "hot")], "query_id long, query_text string"
     )
-    with pytest.raises(NotImplementedError, match="cap"):
+    with pytest.raises(NotImplementedError, match="query"):
         search_sharded(idx, q, top_k=5).collect()
 
 
