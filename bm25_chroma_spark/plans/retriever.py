@@ -18,11 +18,13 @@ Semantic parity notes:
   explanation instead of replicating the broken call.
 * The vector leg replaces ChromaDB/HNSW with a pluggable
   ``embedding_function`` + exact KNN over a vectors table. The
-  default embedder is a deterministic HASHED BAG-OF-WORDS projection
-  (feature hashing; cosine tracks token overlap) standing in for
-  sentence-transformers, which is not available in this environment —
-  real retrieval semantics without an external model; swap in a real
-  encoder via the constructor for production.
+  default is resolved by a probe (default_embedder): the reference's
+  sentence-transformers all-MiniLM-L6-v2 when that package is
+  installed, else a deterministic HASHED BAG-OF-WORDS projection
+  (feature hashing; cosine tracks token overlap) — real retrieval
+  semantics without an external model. This environment lacks the
+  package, so the hashed-BoW path is what runs here; the probe is
+  unit-tested with a stub.
 
 State layout under ``state_path``:
   corpus/gen_K.parquet   (doc_uid, text, deleted) — newest gen wins
@@ -96,6 +98,52 @@ def hashed_bow_embedder(texts: Sequence[str], dim: int = 64
     return out
 
 
+# Lazy sentence-transformers probe result: None = not probed, False =
+# unavailable, else the loaded model. Mirrors the tokenizer's NLTK
+# probe (functions/tokenizer.py); tests monkeypatch _ST_STATE /
+# sys.modules to exercise the model path with a stub.
+_ST_STATE = None
+
+
+def _sentence_transformer_state():
+    """Probe for the reference's embedding model (sentence-transformers
+    all-MiniLM-L6-v2, hybrid_retriever.py:46-49). Returns the loaded
+    model, or False when the package (or its model download) is
+    unavailable — this environment has neither, so the probe is the
+    graceful-degradation path, exactly like the reference's NLTK
+    import guard (bm25.py:7-40)."""
+    global _ST_STATE
+    if _ST_STATE is not None:
+        return _ST_STATE
+    try:
+        from sentence_transformers import SentenceTransformer
+
+        _ST_STATE = SentenceTransformer("all-MiniLM-L6-v2")
+    except Exception:
+        _ST_STATE = False
+    return _ST_STATE
+
+
+def real_embedder_available() -> bool:
+    return bool(_sentence_transformer_state())
+
+
+def default_embedder() -> Callable:
+    """The retriever's default embedding function: the reference's
+    sentence-transformers model when installed, else the
+    deterministic hashed bag-of-words projection (real token-overlap
+    retrieval semantics, no external model)."""
+    model = _sentence_transformer_state()
+    if model:
+        def st_embed(texts: Sequence[str]) -> List[List[float]]:
+            return [
+                [float(x) for x in v] for v in model.encode(list(texts))
+            ]
+
+        return st_embed
+    return hashed_bow_embedder
+
+
 def _doc_id_expr(uid_col):
     return F.xxhash64(uid_col)
 
@@ -135,7 +183,7 @@ class SparkHybridRetriever:
         logical path."""
         self.spark = spark
         self.state = Path(state_path)
-        self.embed = embedding_function or hashed_bow_embedder
+        self.embed = embedding_function or default_embedder()
         self.config = config or BM25Config(
             max_postings_per_term=None,
             query_postings_cap=None,

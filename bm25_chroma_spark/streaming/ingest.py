@@ -22,6 +22,72 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _stream_docs_key(p) -> tuple:
+    """Sort key of a stream_docs file: (batch_id, rev). Per-batch
+    snapshots are ``batch_{id:09d}.parquet`` (rev 0); compacted
+    snapshots are ``batch_{id:09d}_{rev}.parquet`` — same id slot,
+    higher rev, so they rank newer than every file they folded while
+    staying older than any later batch."""
+    parts = p.stem.split("_")
+    return (int(parts[1]), int(parts[2]) if len(parts) > 2 else 0)
+
+
+def _newest_wins_docs(spark, files) -> "DataFrame":
+    """Union the given stream_docs files, newest (batch_id, rev) wins
+    per doc_id -> (doc_id, text)."""
+    from pyspark.sql import Window
+
+    parts = []
+    for p in files:
+        bid, rev = _stream_docs_key(p)
+        parts.append(
+            spark.read.parquet(str(p)).withColumn(
+                "b", F.lit(bid * 1_000_000 + rev)
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("b"))
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+
+
+def _compact_stream_docs(spark, docs_root, batch_id: int) -> None:
+    """Fold every snapshot STRICTLY BEFORE ``batch_id`` into one
+    newest-wins file so per-batch cost stays O(1) in stream history
+    (without this, every batch unions all prior files — quadratic
+    cumulative work). Safe against crashes at any step: the scratch
+    dir is invisible to the batch_* glob, the rename lands the
+    compacted file at (batch_id-1, rev+1) — newer than all its
+    sources, older than the current batch — so undeleted sources are
+    shadowed, never required. Safe against replay: micro-batches are
+    sequential, so every id < batch_id is already committed in the
+    streaming checkpoint and can never be re-delivered."""
+    import shutil
+
+    files = sorted(
+        (p for p in docs_root.glob("batch_*.parquet")
+         if _stream_docs_key(p) < (batch_id, 0)),
+        key=_stream_docs_key,
+    )
+    if len(files) <= 1:
+        return
+    top_id, top_rev = _stream_docs_key(files[-1])
+    target = docs_root / f"batch_{batch_id - 1:09d}_{top_rev + 1}.parquet"
+    tmp = docs_root / ".compacting.parquet"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _newest_wins_docs(spark, files).write.mode("overwrite").parquet(
+        str(tmp)
+    )
+    tmp.rename(target)  # commit point
+    for p in files:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def stream_index_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -32,12 +98,13 @@ def stream_index_ingest(
     schema: str = "doc_id long, text string",
     config=None,
     bucket_groups: int = 1,
+    compact_docs_every: int = 8,
 ) -> StreamingQuery:
     """File-source streaming ingest: every new parquet file under
     ``source_dir`` becomes a micro-batch that upserts into the sharded
     index. Restart-safe via the streaming checkpoint (batch replay is
     idempotent: each batch's docs snapshot is keyed by batch_id and
-    apply_dml rewrites the same generation content).
+    the DML converges to the same index content).
 
     Upserts are COMPLETE remove-then-add: the handler keeps a docs
     store under ``<index_dir>/stream_docs`` (one parquet per batch,
@@ -45,13 +112,15 @@ def stream_index_ingest(
     PRIOR text to apply_dml as delete_docs — so terms that existed
     only in the previous version are purged too (the reference
     re-tokenizes stored chunk_texts on removal, bm25.py:238-249).
+    Once ``compact_docs_every`` snapshots accumulate they fold into a
+    single newest-wins snapshot (crash-safe rename protocol, see
+    _compact_stream_docs), so per-batch cost and file count stay O(1)
+    in stream history.
 
     Returns the StreamingQuery (caller awaits/stops; tests use
     trigger(availableNow=True)).
     """
     from pathlib import Path
-
-    from pyspark.sql import Window
 
     from bm25_chroma_spark.config import BM25Config
     from bm25_chroma_spark.index.dml import apply_dml
@@ -87,37 +156,25 @@ def stream_index_ingest(
             )
             return
 
-        # prior versions of re-ingested ids (newest earlier batch wins)
+        # prior versions of re-ingested ids (newest earlier file wins)
         prior_files = sorted(
-            p for p in docs_root.glob("batch_*.parquet")
-            if int(p.stem.split("_")[1]) < batch_id
+            (p for p in docs_root.glob("batch_*.parquet")
+             if _stream_docs_key(p) < (batch_id, 0)),
+            key=_stream_docs_key,
         )
         old_versions = None
         if prior_files:
-            parts = [
-                spark.read.parquet(str(p)).withColumn(
-                    "b", F.lit(int(p.stem.split("_")[1]))
-                )
-                for p in prior_files
-            ]
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionByName(p)
-            w = Window.partitionBy("doc_id").orderBy(F.desc("b"))
-            old_versions = (
-                u.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("doc_id", "text")
-                .join(
-                    F.broadcast(pinned.select("doc_id")), "doc_id",
-                    "left_semi",
-                )
+            old_versions = _newest_wins_docs(spark, prior_files).join(
+                F.broadcast(pinned.select("doc_id")), "doc_id",
+                "left_semi",
             )
             if old_versions.isEmpty():
                 old_versions = None
         apply_dml(
             spark, index_dir, upserts=pinned, delete_docs=old_versions
         )
+        if compact_docs_every and len(prior_files) + 1 >= compact_docs_every:
+            _compact_stream_docs(spark, docs_root, batch_id)
 
     return (
         stream.writeStream.foreachBatch(handle_batch)

@@ -139,6 +139,41 @@ def test_rrf_single_leg_fallback(spark):
     ]
 
 
+def test_default_embedder_probe(monkeypatch):
+    """default_embedder mirrors the NLTK probe pattern: uses the
+    reference's sentence-transformers model when importable, falls
+    back to hashed-BoW otherwise. Exercised with a stubbed module —
+    the real package is not installable in this environment."""
+    import sys
+    import types
+
+    from bm25_chroma_spark.plans import retriever as ret_mod
+
+    # absent package -> hashed-BoW fallback
+    monkeypatch.setattr(ret_mod, "_ST_STATE", None)
+    monkeypatch.setitem(sys.modules, "sentence_transformers", None)
+    assert not ret_mod.real_embedder_available()
+    assert ret_mod.default_embedder() is ret_mod.hashed_bow_embedder
+
+    # stubbed package -> model path, vectors come from model.encode
+    class _StubModel:
+        def __init__(self, name):
+            assert name == "all-MiniLM-L6-v2"  # reference model,
+            # hybrid_retriever.py:46-49
+
+        def encode(self, texts):
+            return [[float(len(t)), 1.0] for t in texts]
+
+    stub = types.ModuleType("sentence_transformers")
+    stub.SentenceTransformer = _StubModel
+    monkeypatch.setattr(ret_mod, "_ST_STATE", None)
+    monkeypatch.setitem(sys.modules, "sentence_transformers", stub)
+    assert ret_mod.real_embedder_available()
+    embed = ret_mod.default_embedder()
+    assert embed(["ab", "abcd"]) == [[2.0, 1.0], [4.0, 1.0]]
+    monkeypatch.setattr(ret_mod, "_ST_STATE", None)  # leave clean
+
+
 def test_hashed_bow_embedder_semantics(spark, tmp_path):
     """The default embedder gives the vector leg real retrieval
     semantics: token-overlapping docs are cosine neighbors, so a

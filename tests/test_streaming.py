@@ -121,6 +121,82 @@ def test_stream_upsert_purges_old_only_terms(spark, tmp_path):
     assert hits("common shared") == {2}         # untouched doc intact
 
 
+def test_stream_docs_compaction_bounds_history(spark, tmp_path):
+    """ADVICE r2: stream_docs must not keep one snapshot per batch
+    forever. With compact_docs_every=3, six single-file batches
+    (including two upserts) end with a bounded file count AND an
+    index rank-identical to a batch build over the final versions —
+    compaction must not lose any prior-version text the upsert purge
+    depends on."""
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    batches = [
+        [(1, "alpha bravo charlie"), (2, "delta echo foxtrot")],
+        [(3, "golf hotel india")],
+        [(1, "alpha NEW juliet kilo")],          # upsert doc 1
+        [(4, "lima mike november")],
+        [(5, "oscar papa quebec")],
+        [(2, "romeo NEW sierra tango")],         # upsert doc 2
+    ]
+    for i, chunk in enumerate(batches):
+        d = tmp_path / f"stage_{i}"
+        spark.createDataFrame(
+            chunk, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(d))
+        for n, p in enumerate(sorted(d.rglob("*.parquet"))):
+            shutil.copy(p, flat / f"f{i}_{n}.parquet")
+
+    idx_dir = str(tmp_path / "compact_stream_index")
+    q = stream_index_ingest(
+        spark, str(flat), idx_dir, str(tmp_path / "ckc"), config=CFG,
+        compact_docs_every=3,
+    )
+    q.awaitTermination(180)
+
+    from pathlib import Path
+
+    files = sorted(
+        (Path(idx_dir) / "stream_docs").glob("batch_*.parquet")
+    )
+    assert len(files) < len(batches), [f.name for f in files]
+
+    final = [
+        (1, "alpha NEW juliet kilo"),
+        (2, "romeo NEW sierra tango"),
+        (3, "golf hotel india"),
+        (4, "lima mike november"),
+        (5, "oscar papa quebec"),
+    ]
+    batch_dir = str(tmp_path / "compact_batch_index")
+    build_sharded_index(
+        spark.createDataFrame(final, "doc_id long, text string"),
+        batch_dir, config=CFG, bucket_groups=1,
+    )
+    si, bi = ShardedIndex(spark, idx_dir), ShardedIndex(spark, batch_dir)
+    assert si.n_docs == bi.n_docs == 5
+    queries = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "NEW"), (3, "delta echo foxtrot")],
+        "query_id long, query_text string",
+    )
+    a = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+         for r in search_sharded(si, queries, top_k=10).collect()}
+    b = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+         for r in search_sharded(bi, queries, top_k=10).collect()}
+    assert a == b
+    # the purge really happened: old-only terms find nothing
+    gone = search_sharded(
+        si,
+        spark.createDataFrame(
+            [(1, "bravo charlie"), (2, "echo foxtrot")],
+            "query_id long, query_text string",
+        ),
+        top_k=5,
+    ).collect()
+    assert gone == []
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     want = {
