@@ -151,6 +151,38 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         search_sharded(sharded3, wq, top_k=10, strategy=strat).collect()
         timings[f"wand_regime_{strat}"] = time.time() - t0
 
+    # 7. WAND WIN regime (r3): 1M tiny docs where block skipping
+    # ENGAGES — 3 hot terms (df=N) + per-query anchors (df=500 >=
+    # 3*k*S, so every segment's top-k fills from the anchor), 16-query
+    # batch, k=10. Here exhaustive must decode the full hot lists and
+    # push |queries| x |hot postings| rows through the agg, while WAND
+    # block-skips the hot lists to the anchor docs only. Measured
+    # (32-query variant, this host): wand 21.8s vs exhaustive 75.7s —
+    # 3.5x — rank-identical under round-before-rank; 'auto' routes to
+    # wand via the per-segment fill rule (_auto_strategy). Single
+    # timed pass per strategy (JVM warm from earlier cases); set
+    # SPARK_GRAFT_WAND1M_FILES=0 to skip.
+    wand1m = int(os.environ.get("SPARK_GRAFT_WAND1M_FILES", "1000000"))
+    if wand1m:
+        docs1m = spark.range(wand1m).selectExpr(
+            "id as doc_id",
+            "concat('hota hotb hotc anchor', id % 2000, ' filler',"
+            " id % 65536, repeat(' pad', cast(id % 4 as int))) as text",
+        ).repartition(cpus * 4)
+        out4 = tempfile.mkdtemp(prefix=f"bench_wand1m_{cpus}_")
+        t0 = time.time()
+        build_sharded_index(
+            docs1m, out4, config=LOSSLESS_CONFIG, bucket_groups=1
+        )
+        timings["wand_1m_build"] = time.time() - t0
+        sharded4 = ShardedIndex(spark, out4)
+        wq1m = [(i, f"hota hotb hotc anchor{7 * i + 3}") for i in range(16)]
+        for strat in ("exhaustive", "wand", "auto"):
+            t0 = time.time()
+            search_sharded(sharded4, wq1m, top_k=10, strategy=strat).collect()
+            timings[f"wand_1m_{strat}"] = time.time() - t0
+        shutil.rmtree(out4, ignore_errors=True)
+
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(out2, ignore_errors=True)
     shutil.rmtree(out3, ignore_errors=True)

@@ -7,25 +7,27 @@ Two strategies, property-tested to produce identical top-k:
   Simple, fully distributed, the correctness baseline.
 
 * ``wand`` — Block-Max WAND (Ding & Suel, SIGIR'11) document-at-a-time
-  pruning inside a grouped pandas UDF, parallelized per
-  (query, segment): segments partition the doc space, so per-segment
-  top-k provably covers the global top-k and S small DAAT loops run
-  as S parallel tasks. Cursors skip whole blocks whose upper bound
-  cannot beat the running threshold.
+  pruning inside a grouped pandas UDF, parallelized per (segment,
+  query-group): segments partition the doc space, so per-segment
+  top-k provably covers the global top-k; queries ride the closure as
+  a driver-side spec so posting bytes are shuffled once per segment
+  (bounded query-group fan-out restores parallelism), never once per
+  query. Cursors skip whole blocks whose upper bound cannot beat the
+  running threshold.
 
 Strategy guidance: ``exhaustive`` (default) is vectorized end-to-end
-and wins whenever block skipping cannot engage — which, measured
-honestly, is EVERY regime reachable at sandbox corpus sizes (BENCH
-'wand_regime' case publishes the numbers): an anchor selective
-enough to fill the top-k still lands in every 128-posting hot block
-at 100k docs, so WAND decodes what exhaustive decodes plus DAAT
-overhead. ``wand`` is the 10^9-doc-regime path, where a top-k-filling
-anchor IS sparser than one-per-hot-block (df_anchor x block_size <<
-df_hot) and skipping prunes most of the hot lists; it also bounds
-worst-case work when a per-term query cap is unacceptable. Both are
-exact (property-tested identical). ``auto`` applies that
-skip-engagement rule per call from driver-side df stats
-(_auto_strategy).
+and wins whenever block skipping cannot engage. ``wand`` wins when a
+high-idf anchor fills the top-k inside every segment AND is sparser
+than one posting per hot block — MEASURED in this sandbox (BENCH
+'wand_1m': 1M docs, hot df=1M, anchor df=500, 32-query batch, k=10):
+wand 20.9s vs exhaustive 67.3s, a 3.2x win, rank-identical. Below
+that regime (100k 'wand_regime', where any top-k-filling anchor
+lands in every hot block; or anchors too sparse to fill a segment's
+top-k, which degenerates WAND to a full Python DAAT) exhaustive wins
+and ``auto`` — the per-call rule from driver-side df stats
+(_auto_strategy, thresholds calibrated against both measurements) —
+routes there. Both strategies are exact (property-tested
+identical).
 
 Pruning uses a conservative epsilon (skip only when the bound is
 below threshold - 1e-12) so float drift can never drop a true top-k
@@ -172,16 +174,30 @@ class _Cursor:
         )
 
 
-def _bmw_topk(cursors: List[_Cursor], top_k: int) -> List[tuple]:
+def _bmw_topk(
+    cursors: List[_Cursor],
+    top_k: int,
+    score_round: Optional[int] = None,
+) -> List[tuple]:
     """Block-Max WAND over independent posting-list cursors.
 
     Returns [(doc_id, score)] — exact top-k by (score desc, doc_id asc)
     thanks to conservative epsilon pruning.
+
+    ``score_round`` applies the cross-engine round-BEFORE-rank
+    contract inside the heap itself: candidate scores are rounded
+    before comparison (so ties break by doc_id on the rounded value,
+    matching the exhaustive path's round-then-rank), and the pruning
+    threshold gets a half-ulp slack — a rounded score can exceed the
+    raw block bound by up to 0.5*10^-r, so bounds are compared
+    against theta - slack to keep pruning conservative under
+    rounding.
     """
     heap: List[tuple] = []  # (score, -doc_id) min-heap of current top-k
+    slack = 0.5 * 10.0 ** (-score_round) if score_round is not None else 0.0
 
     def theta() -> float:
-        return heap[0][0] if len(heap) >= top_k else -math.inf
+        return (heap[0][0] - slack) if len(heap) >= top_k else -math.inf
 
     live = [c for c in cursors if c.cur != math.inf]
     while live:
@@ -215,6 +231,8 @@ def _bmw_topk(cursors: List[_Cursor], top_k: int) -> List[tuple]:
                 matched = [c for c in live if c.cur == pivot_doc]
                 for c in matched:
                     score += c.score_current()
+                if score_round is not None:
+                    score = round(score, score_round) + 0.0
                 item = (score, -pivot_doc)
                 if len(heap) < top_k:
                     heapq.heappush(heap, item)
@@ -254,6 +272,7 @@ def _auto_strategy(
     n: float,
     top_k: int,
     block_size: int,
+    n_segments: int = 1,
 ) -> str:
     """Pick wand vs exhaustive from driver-side stats only (per-term
     df; no data touched).
@@ -261,20 +280,31 @@ def _auto_strategy(
     WAND beats the vectorized exhaustive scan only when block
     skipping mathematically ENGAGES: a high-idf ANCHOR term must
     (a) dominate the score (bounds discriminate), (b) have enough
-    postings to fill the top-k by itself, and (c) be sparser than one
-    posting per hot-term block — ``df_anchor * block_size <
-    df_hot`` — otherwise every hot block contains an anchor doc and
-    WAND decodes everything exhaustive does, plus DAAT overhead.
+    postings to fill the top-k INSIDE EVERY SEGMENT by itself — WAND
+    runs per segment, and a segment whose heap never reaches k keeps
+    theta at -inf and degenerates to a full Python DAAT over the hot
+    lists — and (c) be sparser than one posting per hot-term block —
+    ``df_anchor * block_size < df_hot`` — otherwise every hot block
+    contains an anchor doc and WAND decodes everything exhaustive
+    does, plus DAAT overhead.
 
-    Measured on this sandbox (100k-doc synthetic corpus, BENCH
-    'wand_regime' case): condition (c) is unsatisfiable there
-    (df_anchor>=3k needed to fill top-k x block 128 > df_hot~96k), and
-    indeed exhaustive wins or ties every regime tried (hot-only 1.7s
-    vs 2.4s; unique-rare 1.9s vs 3.2s; selective anchors ~2.2s vs
-    ~2.4s, all overhead-dominated). At the 10^9-doc scale WAND exists
-    for, (c) holds easily (df_anchor 10^4 x 128 << df_hot 10^8) and
-    the rule routes there. Exhaustive stays the default for small
-    total work, where fixed job overhead dominates either way."""
+    Calibrated against r3 measurements (BENCH 'wand_1m' case,
+    5-token docs, 3 hot terms df=N + anchor, 32-query batch, k=10,
+    S=16 segments, block 128):
+
+    * 1M docs, anchor df 500 (= 3.1 x k x S): wand 20.9s vs
+      exhaustive 67.3s — a 3.2x win; the rule routes to wand.
+    * 200k docs, anchor df 100 (< k x S = 160): per-segment fill
+      FAILS (~6 anchor postings/segment), wand degenerates (34s vs
+      5.3s) — exactly the (b') regime the per-segment fill term now
+      excludes. The old global rule (best_df >= 3k) wrongly voted
+      wand here.
+    * The 100k 'wand_regime' case (anchor df ~1.5k, hot df ~96k):
+      condition (c) fails (1.5k x 128 >> 96k), exhaustive wins
+      (1.7s vs 2.4s) and the rule routes there.
+
+    Exhaustive stays the default for small total work, where fixed
+    job overhead dominates either way."""
 
     def idf(df_t: float) -> float:
         return math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
@@ -295,7 +325,7 @@ def _auto_strategy(
         worst_idf = min(i for i, _ in pairs)
         hot_df = max(d for _, d in pairs)
         anchor_strong = best_idf >= 1.0  # hot-only queries stay flat
-        anchor_fills_topk = best_df >= 3 * top_k
+        anchor_fills_topk = best_df >= 3 * top_k * max(n_segments, 1)
         bounds_discriminate = worst_idf <= best_idf / 10.0
         skipping_engages = best_df * block_size < hot_df
         if (
@@ -402,6 +432,7 @@ def search_sharded(
                 n,
                 top_k,
                 cfg.block_size,
+                n_segments=cfg.salt_factor,
             )
     else:
         dfs = dfs_subtree
@@ -441,40 +472,71 @@ def search_sharded(
     if strategy != "wand":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    # --- Block-Max WAND, parallel per (query, segment) ---
+    # --- Block-Max WAND, parallel per (segment, query-group) ---
     # Segments partition the DOC space (segment = f(doc_id)), so every
     # document's full score lives inside one segment: running an
     # independent WAND per (query, segment) and keeping each segment's
-    # top-k provably covers the global top-k, while turning one big
-    # DAAT loop over terms x segments cursors into S small parallel
-    # loops over ~|query terms| cursors each.
-    dfs_g = dfs.withColumnRenamed("df", "df_global")
-    qshards = shards.join(F.broadcast(dfs_g), "term").join(
-        F.broadcast(qt), "term"
-    )
+    # top-k provably covers the global top-k.
+    #
+    # Shuffle discipline: each (term, segment)'s compressed posting
+    # bytes are shipped ONCE per (segment, query-group), never once
+    # per query. The earlier per-(query, segment) grouping replicated
+    # every hot term's bytes |queries| times through the Arrow
+    # shuffle, and that replication — not the DAAT loop — dominated
+    # (measured r3, 32-query batch at 200k docs: 11.3s vs exhaustive's
+    # 5.2s). Queries ride the closure as a tiny driver-side spec
+    # (they are small by contract); a bounded query-group fan-out
+    # (n_qgroups ~ 2*parallelism/segments) restores task parallelism
+    # at a replication factor of n_qgroups, not |queries|.
+    df_map = {r["term"]: int(r["df"]) for r in dfs.collect()}
+    from collections import defaultdict
+
+    by_qid: dict = defaultdict(list)
+    for qid, term, qtf in qt_data:
+        df_t = df_map.get(term)
+        if not df_t:
+            continue
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        by_qid[qid].append((term, idf * float(qtf)))
+    qspec = sorted(by_qid.items())
+    if not qspec:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank int"
+        )
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    n_seg = max(int(cfg.salt_factor), 1)
+    n_qg = max(1, min(len(qspec), -(-2 * par // n_seg)))
+    qg_df = spark.createDataFrame([(i,) for i in range(n_qg)], "qgroup int")
+    seg_shards = shards.crossJoin(F.broadcast(qg_df))
     k1, b = cfg.k1, cfg.b
 
-    def run_query_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iloc[0])
-        cursors = []
-        for r in pdf.itertuples(index=False):
-            df_t = float(r.df_global)
-            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
-            w = idf * float(r.qtf)
-            if len(r.blocks) == 0:
-                continue
-            cursors.append(_Cursor(r, w, k1, b, avgdl))
-        top = _bmw_topk(cursors, top_k)
+    def run_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qg = int(pdf["qgroup"].iloc[0])
+        rows = {r.term: r for r in pdf.itertuples(index=False)}
+        qids: List[int] = []
+        dids: List[int] = []
+        scores: List[float] = []
+        for qid, terms in qspec[qg::n_qg]:
+            cursors = []
+            for term, w in terms:
+                r = rows.get(term)
+                if r is None or len(r.blocks) == 0:
+                    continue
+                cursors.append(_Cursor(r, w, k1, b, avgdl))
+            for d, s in _bmw_topk(cursors, top_k, score_round):
+                qids.append(qid)
+                dids.append(d)
+                scores.append(s)
         return pd.DataFrame(
             {
-                "query_id": qid,
-                "doc_id": [d for d, _ in top],
-                "score": [s for _, s in top],
+                "query_id": pd.Series(qids, dtype="int64"),
+                "doc_id": pd.Series(dids, dtype="int64"),
+                "score": pd.Series(scores, dtype="float64"),
             }
         )
 
-    candidates = qshards.groupBy("query_id", "segment").applyInPandas(
-        run_query_segment,
+    candidates = seg_shards.groupBy("segment", "qgroup").applyInPandas(
+        run_segment_group,
         schema="query_id long, doc_id long, score double",
     )
     if score_round is not None:

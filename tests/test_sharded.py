@@ -345,6 +345,21 @@ def test_auto_strategy_rule():
     assert _auto_strategy(
         sel, {"anchor": 15, "hot1": 200, "hot2": 300}, 500.0, 10, BS
     ) == "exhaustive"
+    # r3 MEASURED regimes (BENCH wand_1m, S=16 segments): 1M docs,
+    # anchor df 500 >= 3*k*S=480 -> wand (measured 20.9s vs 67.3s);
+    # 200k docs, anchor df 100 < k*S -> the per-segment top-k never
+    # fills, WAND degenerates to a full Python DAAT (measured 34s vs
+    # 5.3s) -> exhaustive
+    m1 = [(1, "anchor", 1), (1, "hota", 1), (1, "hotb", 1), (1, "hotc", 1)]
+    assert _auto_strategy(
+        m1, {"anchor": 500, "hota": 10**6, "hotb": 10**6, "hotc": 10**6},
+        1e6, 10, BS, n_segments=16,
+    ) == "wand"
+    assert _auto_strategy(
+        m1, {"anchor": 100, "hota": 200_000, "hotb": 200_000,
+             "hotc": 200_000},
+        200_000.0, 10, BS, n_segments=16,
+    ) == "exhaustive"
 
 
 def test_auto_strategy_results_identical(spark, shard_dir, queries_df):

@@ -61,6 +61,46 @@ def test_bmw_equals_exhaustive_randomized():
             assert math.isclose(gs, ws, rel_tol=1e-9), (trial, gd, gs, ws)
 
 
+def test_bmw_round_before_rank_ties():
+    """score_round applies INSIDE the heap (cross-engine contract:
+    round before ranking) with a half-ulp pruning slack — coarse
+    rounding creates many exact rounded-score ties whose doc_id-asc
+    order must match an exhaustive round-then-rank oracle, and
+    pruning must never drop a tied doc whose raw score is below the
+    raw threshold but whose rounded score ties it."""
+    rng = np.random.RandomState(777)
+    avgdl = 50.0
+    for trial in range(200):
+        nlists = rng.randint(1, 5)
+        lists, rows = [], []
+        for _ in range(nlists):
+            n = rng.randint(1, 60)
+            docs = np.cumsum(rng.randint(1, 9, n)).astype(np.int64)
+            tfs = rng.randint(1, 4, n).astype(np.int64)
+            dls = rng.randint(10, 30, n).astype(np.int64)
+            w = float(rng.choice([0.5, 1.0, 1.5]))
+            rows.append((_make_row(docs, tfs, dls,
+                                   bs=int(rng.randint(1, 6))), w))
+            lists.append((docs, tfs, dls, w))
+        k = int(rng.randint(1, 10))
+        cursors = [_Cursor(row, w, K1, B, avgdl) for row, w in rows]
+        got = _bmw_topk(cursors, k, score_round=2)
+        acc = collections.defaultdict(float)
+        for docs, tfs, dls, w in lists:
+            for d, tf, dl in zip(docs, tfs, dls):
+                denom = tf + K1 * (1 - B + B * dl / avgdl)
+                acc[d] += w * (tf * (K1 + 1)) / denom / math.sqrt(dl)
+        want = sorted(
+            ((d, round(s, 2)) for d, s in acc.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        assert [d for d, _ in got] == [d for d, _ in want], (
+            trial, got, want,
+        )
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, abs_tol=1e-9), (trial, got, want)
+
+
 def test_bmw_tie_scores():
     """Identical postings in two lists -> exact score ties; ranking
     must prefer smaller doc_id and never drop a tied doc."""
