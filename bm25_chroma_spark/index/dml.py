@@ -156,7 +156,11 @@ def apply_dml(
         merged = old.select("term", "doc_id", "tf", "dl").unionByName(
             new_flat
         )
-        if cfg.max_postings_per_term:
+        if cfg.max_postings_per_term and index.build_cap_physical:
+            # (legacy indexes without the build_cap_enforced marker
+            # store postings uncapped — re-capping only the affected
+            # terms would mix semantics; their query guard refuses a
+            # binding build cap instead.)
             # reference flush semantics (bm25.py:176-195): merge the
             # surviving stored postings (already capped — evicted ones
             # never come back) with the batch's new postings, then

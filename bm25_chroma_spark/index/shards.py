@@ -228,6 +228,8 @@ def _merge_encode_bucket_segment(
             [np.asarray(x, dtype=np.int64) for x in grp["dls"]]
         )
         if has_thr and not pd.isna(grp["thr_tf"].iloc[0]):
+            # string-encoded to survive Arrow's nullable-long ->
+            # float64 conversion losslessly (see _cap_thresholds)
             thr_tf = int(grp["thr_tf"].iloc[0])
             thr_doc = int(grp["thr_doc"].iloc[0])
             keep = (tfs > thr_tf) | (
@@ -298,13 +300,19 @@ def _cap_thresholds(partials: DataFrame, cap: int) -> DataFrame:
         .drop("rn")
     )
     w2 = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    # thresholds travel as STRINGS: the encode UDF receives them
+    # through a nullable-long left join, and Arrow->pandas delivers
+    # nullable longs as float64 — which silently corrupts doc ids
+    # beyond 2^53 (xxhash64-scale ids round to the wrong neighbor and
+    # the cap-boundary tie-break keeps/drops the wrong postings).
+    # Strings round-trip exactly; the UDF parses them back to int.
     return (
         per_seg.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == cap)
         .select(
             "term",
-            F.col("tf").alias("thr_tf"),
-            F.col("doc_id").alias("thr_doc"),
+            F.col("tf").cast("string").alias("thr_tf"),
+            F.col("doc_id").cast("string").alias("thr_doc"),
         )
     )
 
@@ -439,6 +447,12 @@ def build_sharded_index(
             "config": asdict(config),
             "config_hash": cfg_hash,
             "built_at": time.time(),
+            # r3+: the build honors max_postings_per_term PHYSICALLY
+            # (threshold filter at encode). Indexes lacking this
+            # marker were built storing postings uncapped — their
+            # query path must keep refusing a binding build cap, and
+            # DML must not re-cap (ShardedIndex.build_cap_physical).
+            "build_cap_enforced": True,
         }
         stats_path.write_text(json.dumps(stats, indent=2))
 
@@ -465,12 +479,22 @@ def build_sharded_index(
     # guard then only covers the query-time cap. Lossless (cap=None)
     # stays the at-scale mode; capped mode is reference parity.
     thr_df = None
-    if config.max_postings_per_term and pending and partials is not None:
+    # resumed LEGACY builds (stats on disk without the
+    # build_cap_enforced marker) stored earlier groups uncapped;
+    # capping only the pending groups would mix semantics — keep the
+    # whole index legacy (query-time refusal covers it)
+    cap_build = need_stats or bool(stats.get("build_cap_enforced"))
+    if (
+        config.max_postings_per_term
+        and cap_build
+        and pending
+        and partials is not None
+    ):
         thr_pdf = _cap_thresholds(
             partials, config.max_postings_per_term
         ).toPandas()
         thr_df = spark.createDataFrame(
-            thr_pdf, "term string, thr_tf long, thr_doc long"
+            thr_pdf, "term string, thr_tf string, thr_doc string"
         ) if len(thr_pdf) else None
 
     def _build_group(g: int) -> dict:
@@ -598,6 +622,12 @@ class ShardedIndex:
         self.n_docs: int = stats["n_docs"]
         self.avgdl: float = stats["avgdl"]
         self.generation: int = int(stats.get("generation", 0))
+        # False for legacy indexes whose build stored postings
+        # uncapped: their query path refuses a binding build cap
+        # (search_sharded) and DML must not re-cap (apply_dml)
+        self.build_cap_physical: bool = bool(
+            stats.get("build_cap_enforced", False)
+        )
         self.config = BM25Config(**stats["config"])
         self._scan_cache: dict = {}
         return self

@@ -68,6 +68,25 @@ from bm25_chroma_spark.operators.scoring import bm25_score_expr
 _EPS = 1e-12
 
 
+def round_half_up(x: float, r: int) -> float:
+    """Python twin of Spark's F.round on doubles: HALF_UP on the
+    SHORTEST-DECIMAL representation (Spark rounds
+    BigDecimal.valueOf(double) — Double.toString's shortest
+    round-trip repr — with HALF_UP; Python's repr() produces the same
+    shortest repr, and decimal.Decimal quantizes it exactly).
+    Python's builtin round() is half-even on the binary value and
+    DISAGREES at decimal midpoints (round(2.675, 2) == 2.67 but
+    F.round gives 2.68), which would break the WAND == exhaustive
+    invariant under score_round."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-r), rounding=ROUND_HALF_UP
+        )
+    ) + 0.0  # canonicalize IEEE -0.0
+
+
 class _Cursor:
     """One (term, segment) posting list with block-skip support."""
 
@@ -232,7 +251,7 @@ def _bmw_topk(
                 for c in matched:
                     score += c.score_current()
                 if score_round is not None:
-                    score = round(score, score_round) + 0.0
+                    score = round_half_up(score, score_round)
                 item = (score, -pivot_doc)
                 if len(heap) < top_k:
                     heapq.heappush(heap, item)
@@ -400,26 +419,38 @@ def search_sharded(
     #   are already the capped dfs the reference feeds into IDF.)
     # * otherwise, with an explicit strategy → keep the df agg as a
     #   plan subtree under the broadcast join (no driver roundtrip).
+    # caps that must refuse when binding: the query cap always (its
+    # tf-ordered traversal is logical-path-only); the BUILD cap only
+    # on LEGACY indexes built before physical cap enforcement (their
+    # shards store postings uncapped — stats.json lacks the
+    # build_cap_enforced marker)
     qcap = cfg.query_postings_cap
+    guard_caps = [c for c in (qcap,) if c is not None]
+    if cfg.max_postings_per_term and not getattr(
+        index, "build_cap_physical", False
+    ):
+        guard_caps.append(cfg.max_postings_per_term)
     dfs_subtree = shards.groupBy("term").agg(F.sum("df").alias("df"))
-    if qcap is not None or strategy == "auto":
+    df_rows = None
+    if guard_caps or strategy == "auto":
         df_rows = dfs_subtree.collect()
-        if qcap is not None:
+        if guard_caps:
+            limit = min(guard_caps)
             hot = sorted(
                 (r["term"], int(r["df"]))
                 for r in df_rows
-                if r["df"] > qcap
+                if r["df"] > limit
             )
             if hot:
                 raise NotImplementedError(
-                    "sharded search cannot reproduce the reference's "
-                    "tf-ordered query-time posting cap and these "
-                    f"query terms exceed it ({qcap}): {hot[:5]}. "
-                    "Query with query_postings_cap=None (the at-scale "
-                    "lossless mode) or use the logical path "
-                    "(bm25_score_queries) for reference query-cap "
-                    "semantics. (The build cap is fine: the sharded "
-                    "build honors it physically.)"
+                    "sharded search cannot reproduce a tf-ordered "
+                    "posting cap that this index stores uncapped, and "
+                    f"these query terms exceed it ({limit}): {hot[:5]}. "
+                    "Query with lossless caps (None), use the logical "
+                    "path (bm25_score_queries) for reference cap "
+                    "semantics, or rebuild: indexes built at r3+ "
+                    "honor the BUILD cap physically and only the "
+                    "query-time cap refuses."
                 )
         dfs = spark.createDataFrame(
             [(r["term"], int(r["df"])) for r in df_rows],
@@ -488,7 +519,11 @@ def search_sharded(
     # (they are small by contract); a bounded query-group fan-out
     # (n_qgroups ~ 2*parallelism/segments) restores task parallelism
     # at a replication factor of n_qgroups, not |queries|.
-    df_map = {r["term"]: int(r["df"]) for r in dfs.collect()}
+    # df_rows is already driver-side when a cap guard or auto routing
+    # ran — don't re-launch the agg job for data we have
+    if df_rows is None:
+        df_rows = dfs.collect()
+    df_map = {r["term"]: int(r["df"]) for r in df_rows}
     from collections import defaultdict
 
     by_qid: dict = defaultdict(list)

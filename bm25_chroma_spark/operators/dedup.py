@@ -349,11 +349,20 @@ def dup_clusters(
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
+    # Iteration discipline: every round ends in localCheckpoint() —
+    # the jump self-join references prop on BOTH sides, so without
+    # lineage truncation the logical plan QUADRUPLES per round
+    # (labels_k contains labels_{k-1} four times) and the driver OOMs
+    # on plan bookkeeping long before data is a problem. prop is
+    # additionally pinned for the one round it is alive so the
+    # propagation join + neighbor-min agg execute once, not twice.
+    # (At cluster scale prefer reliable checkpoint() with a
+    # checkpoint dir — localCheckpoint blocks die with an executor.)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iter):
@@ -378,6 +387,7 @@ def dup_clusters(
                     F.col("old"), F.coalesce("min_neigh", "old")
                 ).alias("lbl"),
             )
+            .persist()
         )
         # pointer jump: lbl <- min(lbl, lbl[lbl]) — halves every
         # label-chain's depth, turning O(diameter) into O(log)
@@ -393,22 +403,17 @@ def dup_clusters(
                     F.col("lbl"), F.coalesce("jump", "lbl")
                 ).alias("new_lbl"),
             )
-            .persist()
+            .localCheckpoint()  # materializes; truncates lineage
         )
+        prop.unpersist()
         changed = jumped.filter(
             F.col("new_lbl") != F.col("old")
         ).count()
-        old = labels
-        labels = jumped.select(
-            "id", F.col("new_lbl").alias("lbl")
-        ).persist()
-        old.unpersist()
-        jumped.unpersist()
+        labels = jumped.select("id", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             converged = True
             break
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"dup_clusters failed to converge within max_iter={max_iter} "
             "rounds — with pointer jumping this needs a component of "

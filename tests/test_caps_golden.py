@@ -207,6 +207,89 @@ def test_sharded_build_cap_dml_matches_reference(
         )
 
 
+def test_sharded_build_cap_exact_for_huge_doc_ids(spark, tmp_path):
+    """Cap thresholds must survive the Arrow nullable-long -> float64
+    conversion LOSSLESSLY (they travel as strings): with xxhash64-
+    scale doc ids (> 2^53, float64 ulp here is 1024!) and tf ties at
+    the cap boundary, the kept set is decided by doc_id <= thr_doc —
+    a float-rounded threshold keeps/drops the wrong postings."""
+    from pyspark.sql import functions as F
+
+    from bm25_chroma_spark.index.shards import (
+        ShardedIndex,
+        build_sharded_index,
+        decode_shards_to_postings,
+    )
+
+    B = 4611686018427387904  # 2^62: float64(B + 57) == B exactly
+    ids = [B + 1, B + 2, B + 57, B + 60, B + 100]
+    docs = spark.createDataFrame(
+        [(i, "hot") for i in ids], "doc_id long, text string"
+    )
+    cfg = BM25Config(
+        max_postings_per_term=3,
+        query_postings_cap=None,
+        num_term_buckets=2,
+        salt_factor=4,
+        block_size=2,
+    )
+    out = str(tmp_path / "hugeid_idx")
+    build_sharded_index(docs, out, config=cfg, bucket_groups=1)
+    idx = ShardedIndex(spark, out)
+    shards = idx.shards_for_terms(["hot"])
+    assert shards.agg(F.sum("df")).collect()[0][0] == 3
+    kept = {
+        r["doc_id"]
+        for r in decode_shards_to_postings(shards).collect()
+    }
+    # (tf desc, doc_id asc) total order with all tf equal -> the 3
+    # smallest ids survive, exactly
+    assert kept == {B + 1, B + 2, B + 57}
+
+
+def test_legacy_uncapped_index_still_refuses_binding_build_cap(
+    spark, tmp_path
+):
+    """Indexes built BEFORE physical cap enforcement (stats.json has
+    no build_cap_enforced marker) store postings uncapped — querying
+    them with a binding build cap must refuse, exactly like r2, never
+    silently score uncapped postings against a capped config."""
+    import json
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from bm25_chroma_spark.index.shards import (
+        ShardedIndex,
+        build_sharded_index,
+    )
+    from bm25_chroma_spark.index.wand import search_sharded
+
+    docs = spark.createDataFrame(
+        [(i, "hot word") for i in range(12)], "doc_id long, text string"
+    )
+    cfg = BM25Config(
+        max_postings_per_term=None,  # build stores UNCAPPED postings
+        query_postings_cap=None,
+        num_term_buckets=2,
+        salt_factor=2,
+    )
+    out = str(tmp_path / "legacy_idx")
+    build_sharded_index(docs, out, config=cfg, bucket_groups=1)
+    # simulate the legacy on-disk state exactly: config declares a
+    # build cap the storage does not honor, and no marker
+    sp = Path(out) / "stats.json"
+    stats = json.loads(sp.read_text())
+    del stats["build_cap_enforced"]
+    stats["config"]["max_postings_per_term"] = 5
+    sp.write_text(json.dumps(stats))
+
+    idx = ShardedIndex(spark, out)
+    assert not idx.build_cap_physical
+    with _pytest.raises(NotImplementedError, match="uncapped"):
+        search_sharded(idx, [(1, "hot")], top_k=5).collect()
+
+
 def test_build_cap_feeds_idf(spark, reference_bm25_cls):
     """df used in IDF is the CAPPED list length (reference quirk)."""
     docs = _corpus(10)

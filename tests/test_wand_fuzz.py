@@ -61,6 +61,35 @@ def test_bmw_equals_exhaustive_randomized():
             assert math.isclose(gs, ws, rel_tol=1e-9), (trial, gd, gs, ws)
 
 
+def test_round_half_up_matches_spark_f_round(spark):
+    """round_half_up (used inside the WAND heap) must agree with
+    Spark's F.round on doubles BIT-FOR-BIT — Python's builtin round()
+    does NOT (half-even on binary: round(2.675, 2)=2.67 while F.round
+    gives 2.68), which would silently break WAND == exhaustive under
+    score_round at decimal midpoints."""
+    import numpy as _np
+    from pyspark.sql import functions as F
+
+    from bm25_chroma_spark.index.wand import round_half_up
+
+    rng = _np.random.RandomState(4242)
+    vals = [
+        2.675, 0.125, -2.675, -0.125, 0.5, -0.5, 1.0049999,
+        123456.789125, 1e-7, 0.0, -0.0, 7.2, 3.0000005,
+    ] + [float(x) for x in rng.uniform(-100, 100, 200)] + [
+        float(x) for x in rng.uniform(-1e-3, 1e-3, 50)
+    ]
+    for r in (2, 6):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        want = [
+            row["y"] for row in
+            df.select(F.round("x", r).alias("y")).collect()
+        ]
+        got = [round_half_up(v, r) for v in vals]
+        for v, g, w in zip(vals, got, want):
+            assert g == w, (v, r, g, w)
+
+
 def test_bmw_round_before_rank_ties():
     """score_round applies INSIDE the heap (cross-engine contract:
     round before ranking) with a half-ulp pruning slack — coarse
@@ -90,8 +119,10 @@ def test_bmw_round_before_rank_ties():
             for d, tf, dl in zip(docs, tfs, dls):
                 denom = tf + K1 * (1 - B + B * dl / avgdl)
                 acc[d] += w * (tf * (K1 + 1)) / denom / math.sqrt(dl)
+        from bm25_chroma_spark.index.wand import round_half_up
+
         want = sorted(
-            ((d, round(s, 2)) for d, s in acc.items()),
+            ((d, round_half_up(s, 2)) for d, s in acc.items()),
             key=lambda x: (-x[1], x[0]),
         )[:k]
         assert [d for d, _ in got] == [d for d, _ in want], (
