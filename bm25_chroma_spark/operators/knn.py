@@ -221,3 +221,137 @@ def lsh_recall_vs_exact(
     ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     return len(ex & ap) / max(len(ex), 1)
+
+
+# ------------------------------------------------------------------ #
+# IVF (inverted-file index) — the other ANN scale path                #
+# ------------------------------------------------------------------ #
+
+def _lit_vec(v: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _cos_dist(a, b):
+    return F.lit(1.0) - _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ivf_seed_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Deterministic coarse quantizer: the vectors of the ``n_cells``
+    smallest ids serve as cell centroids (medoid seeds). Production
+    swaps in k-means-trained centroids (pass ``centroids=`` to
+    knn_ivf — the IVF structure is identical); seeds keep the
+    quantizer bit-reproducible across engines so the correctness
+    oracle can mirror the cell assignment exactly in SQL."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def ivf_assign_cells(
+    e: DataFrame, centroids: List[List[float]], vec_col: str = "vec"
+) -> DataFrame:
+    """Add a ``cell`` column: argmin over centroids of cosine distance,
+    ties to the smallest cell id. Pure column expressions — the
+    (dist, cid) struct array's array_min is the lexicographic minimum,
+    i.e. (dist asc, cid asc) — so the one assignment pass is narrow,
+    map-side, and whole-stage-codegen'd. At 100 TB you run this once
+    at ingest and ``partitionBy("cell")`` the table: query-time
+    probing then becomes partition PRUNING, not even a filter scan."""
+    cells = F.array(
+        *[
+            F.struct(
+                _cos_dist(F.col(vec_col), _lit_vec(c)).alias("dist"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return e.withColumn("cell", F.array_min(cells).getField("cid"))
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 3,
+    centroids: Optional[List[List[float]]] = None,
+    score_round: Optional[int] = None,
+) -> DataFrame:
+    """Approximate KNN, IVF style (the classic inverted-file ANN):
+    a coarse quantizer assigns every corpus vector to its nearest
+    centroid's cell — the inverted file — and each query probes only
+    its ``nprobe`` nearest cells, reranking exactly within them.
+    Cost per query ~ nprobe/n_cells of the corpus instead of a full
+    scan; recall is controlled by nprobe.
+
+    -> (query_id, vec_id, dist, sim, rank), same contract as
+    knn_bruteforce/knn_lsh (round-before-rank under ``score_round``).
+
+    Query-side probe selection runs through the SAME column
+    expressions as the corpus assignment (one tiny Spark job over the
+    query vectors) so the left-fold float arithmetic — and therefore
+    every tie — matches the corpus side and the SQL oracle
+    bit-for-bit; a numpy argmin would disagree in the last ulp.
+    """
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = ivf_seed_centroids(embeddings, n_cells, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    e_cell = ivf_assign_cells(e, centroids)
+
+    q = _queries_df(spark, query_vecs)
+    qd = q.select(
+        "query_id",
+        "qvec",
+        F.posexplode(
+            F.array(
+                *[_cos_dist(F.col("qvec"), _lit_vec(c)) for c in centroids]
+            )
+        ).alias("cid", "cdist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("cdist"), F.asc("cid")
+    )
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", F.col("cid").alias("cell"))
+    )
+    cand = e_cell.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", "vec", "qvec"
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _cos_dist(F.col("vec"), F.col("qvec")).alias("dist"),
+    )
+    if score_round is not None:
+        scored = scored.withColumn("dist", F.round("dist", score_round))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("sim", F.lit(1.0) / (F.lit(1.0) + F.col("dist")))
+        .select("query_id", "vec_id", "dist", "sim", "rank")
+    )
+    if score_round is not None:
+        out = out.withColumn("sim", F.round("sim", score_round))
+    return out

@@ -499,6 +499,39 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 8
+IVF_NPROBE = 3
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors, IVF style — the inverted-file
+    scale path alongside ann_lsh: a deterministic coarse quantizer
+    (medoid seeds = the IVF_CELLS smallest-id vectors; production
+    plugs in k-means centroids) assigns every vector to a cell, each
+    query probes its IVF_NPROBE nearest cells only, exact cosine
+    rerank within them. Every distance on both the corpus and the
+    query side goes through the same left-fold expressions, so the
+    SQL oracle mirrors cell assignment, probing, and rerank
+    bit-for-bit."""
+    from bm25_chroma_spark.operators.knn import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = knn_ivf(
+        emb,
+        _knn_query_vecs(spark, sf_dir),
+        k=KNN_K,
+        n_cells=IVF_CELLS,
+        nprobe=IVF_NPROBE,
+        score_round=ROUND,
+    )
+    return res.select(
+        "query_id",
+        "vec_id",
+        (F.col("dist") + F.lit(0.0)).alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full hybrid: BM25 leg + exact-KNN leg fused with RRF (ratio
     0.5, k=60, candidate widening x2 like the reference facade)."""
@@ -807,6 +840,75 @@ SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= {KNN_K}
 
 _ORACLES["knn_topk"] = _knn_oracle()
 
+
+def _ivf_oracle() -> str:
+    """IVF mirrored in SQL: same medoid-seed centroids (the IVF_CELLS
+    smallest-id vectors), same (dist asc, cid asc) cell assignment,
+    same IVF_NPROBE query-side probing, same round-before-rank rerank.
+    Distances use list_dot_product (left fold) exactly like the Spark
+    side's F.aggregate, so assignments tie-break identically."""
+    qsel = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    case = " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(KNN_QUERY_IDS)
+    )
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"1.0 - list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+ec AS (
+  SELECT vec_id, vec, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {dist('vec', 'cvec')} ASC, cid ASC
+         ) AS rn
+  FROM e CROSS JOIN c
+),
+cells AS (SELECT vec_id, vec, cid AS cell FROM ec WHERE rn = 1),
+q AS (
+  SELECT (CASE vec_id {case} END)::BIGINT AS query_id,
+         embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN ({qsel})
+),
+qc AS (
+  SELECT query_id, qvec, cid,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {dist('qvec', 'cvec')} ASC, cid ASC
+         ) AS rn
+  FROM q CROSS JOIN c
+),
+probes AS (
+  SELECT query_id, qvec, cid AS cell FROM qc WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, s.vec_id,
+         round({dist('s.vec', 'p.qvec')}, {ROUND}) + 0.0 AS dist
+  FROM cells s JOIN probes p ON s.cell = p.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+         )::INT AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+_ORACLES["ann_ivf"] = _ivf_oracle()
+
 _ORACLES["embedding_dups"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -1096,6 +1198,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "rrf_hybrid": q_rrf_hybrid,
         # relational showcase
         "pricing_summary": q_pricing_summary,

@@ -94,6 +94,64 @@ def test_lsh_shape(spark, emb_df, emb_np):
     assert rows[0]["vec_id"] is not None
 
 
+def test_ivf_recall_and_candidate_restriction(spark, emb_df, emb_np):
+    """IVF probes only nprobe cells: every result must come from the
+    query's probed cells (structural check), recall vs exact top-k
+    must be reasonable at nprobe=3/8, and nprobe=n_cells must equal
+    exact KNN exactly (probing everything degenerates to brute
+    force)."""
+    from bm25_chroma_spark.operators.knn import (
+        ivf_assign_cells,
+        ivf_seed_centroids,
+        knn_ivf,
+    )
+    from pyspark.sql import functions as F
+
+    ids, mat = emb_np
+    qvecs = [list(map(float, mat[3])), list(map(float, mat[77]))]
+    k = 10
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_bruteforce(emb_df, qvecs, k=k).collect()
+    }
+    approx_rows = knn_ivf(
+        emb_df, qvecs, k=k, n_cells=8, nprobe=3
+    ).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    assert len(approx & exact) / len(exact) >= 0.5
+
+    # structural: results live in the probed cells only
+    cents = ivf_seed_centroids(emb_df, 8)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_cells(
+            emb_df.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("vec"),
+            ),
+            cents,
+        ).collect()
+    }
+    for qid, qv in enumerate(qvecs):
+        probe_rows = knn_ivf(
+            emb_df, [qv], k=10**6, n_cells=8, nprobe=3
+        ).collect()
+        got_cells = {cells[r["vec_id"]] for r in probe_rows}
+        assert len(got_cells) <= 3
+
+    # nprobe = n_cells -> exact
+    full = {
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in knn_ivf(emb_df, qvecs, k=k, n_cells=8, nprobe=8).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"], round(r["dist"], 9))
+        for r in knn_bruteforce(emb_df, qvecs, k=k).collect()
+    }
+    assert full == want
+
+
 def test_rrf_matches_reference_semantics(spark):
     """Spark fusion == driver-side reference-shaped fusion on the same
     ranked lists, across ratios (reference hybrid_retriever.py:11-26)."""
