@@ -126,9 +126,8 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     # three flat hot terms (df ~100k). Published honestly: at this
     # corpus size block skipping cannot engage (anchor df x block_size
     # > hot df -> every hot block holds an anchor doc), so exhaustive
-    # wins/ties and strategy='auto' correctly routes there; see
-    # index/wand.py _auto_strategy for the engagement rule and the
-    # 10^9-doc regime where wand takes over.
+    # wins/ties and strategy='auto' correctly routes there; the
+    # wand_1m case below is the measured regime where WAND WINS.
     wand_files = int(os.environ.get("SPARK_GRAFT_WAND_FILES", "100000"))
     t0 = time.time()
     wcorpus = synth_corpus(spark, wand_files, seed=42, partitions=cpus * 4)
