@@ -45,8 +45,23 @@ def _read_stats(base: Path) -> dict:
     return json.loads((base / "stats.json").read_text())
 
 
+def _atomic_write_text(path: Path, text: str) -> None:
+    """Crash-safe small-file write: stage to .tmp, fsync, os.replace.
+    A torn stats.json (or compaction marker) would otherwise brick the
+    index — _read_stats raises JSONDecodeError on every open and
+    recover_index reads stats before it can heal anything."""
+    import os
+
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def _write_stats(base: Path, stats: dict) -> None:
-    (base / "stats.json").write_text(json.dumps(stats, indent=2))
+    _atomic_write_text(base / "stats.json", json.dumps(stats, indent=2))
 
 
 def apply_dml(
@@ -273,27 +288,45 @@ def _finish_compaction(base: Path) -> bool:
     ``*_compacting`` is authoritative the moment the marker exists,
     and every step below is guarded by existence checks so replay
     from any intermediate crash point converges to the same state.
+    Concurrency: the promote sequence is destructive (rmtree + rename
+    + unlink), and refresh() runs it on EVERY open — two concurrent
+    opens racing through the existence checks could each pass
+    ``tmp.exists()`` and then destroy the other's freshly promoted
+    dirs. An exclusive flock on a sidecar lock file serializes the
+    whole sequence, and the marker is re-checked under the lock, so
+    the loser of the race observes the finished state and no-ops.
+
     Returns True when a marker was found and finished."""
+    import fcntl
     import shutil
 
     marker = base / _COMPACT_MARKER
     if not marker.exists():
         return False
-    tmp = base / "shards_compacting"
-    if tmp.exists():
-        shutil.rmtree(base / "shards", ignore_errors=True)
-        tmp.rename(base / "shards")
-    ds_tmp = base / "doc_stats_compacting"
-    if ds_tmp.exists():
-        shutil.rmtree(base / "doc_stats.parquet", ignore_errors=True)
-        ds_tmp.rename(base / "doc_stats.parquet")
-    shutil.rmtree(base / "gen", ignore_errors=True)
-    stats = _read_stats(base)
-    if int(stats.get("generation", 0)) != 0:
-        stats["generation"] = 0
-        _write_stats(base, stats)
-    marker.unlink()
-    return True
+    lock_path = base / ".recovery.lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+        try:
+            if not marker.exists():
+                # another process finished the promote while we waited
+                return False
+            tmp = base / "shards_compacting"
+            if tmp.exists():
+                shutil.rmtree(base / "shards", ignore_errors=True)
+                tmp.rename(base / "shards")
+            ds_tmp = base / "doc_stats_compacting"
+            if ds_tmp.exists():
+                shutil.rmtree(base / "doc_stats.parquet", ignore_errors=True)
+                ds_tmp.rename(base / "doc_stats.parquet")
+            shutil.rmtree(base / "gen", ignore_errors=True)
+            stats = _read_stats(base)
+            if int(stats.get("generation", 0)) != 0:
+                stats["generation"] = 0
+                _write_stats(base, stats)
+            marker.unlink()
+            return True
+        finally:
+            fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
 
 
 def recover_index(spark: SparkSession, base: Path) -> dict:
@@ -386,10 +419,13 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     )
     tmp = base / "shards_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
-    for g in range(groups):
-        live.filter(F.col("group") == g).drop("group").write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(str(tmp / f"group={g}"))
+    # ONE job writes every group: partitionBy(group, bucket) produces
+    # the exact reader layout (shards/group=G/bucket=B/) without
+    # re-executing the overlay plan once per group — the old per-group
+    # filter loop re-read and re-windowed the whole index G times.
+    live.write.mode("overwrite").partitionBy("group", "bucket").parquet(
+        str(tmp)
+    )
 
     ds = _live_doc_stats(spark, base)
     ds_tmp = base / "doc_stats_compacting"
@@ -398,9 +434,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
     prev_gen = stats.get("generation", 0)
     # COMMIT POINT: both staging dirs are complete; after the marker
-    # lands the promote is replayable from any crash
-    (base / _COMPACT_MARKER).write_text(
-        json.dumps({"folded_generations": prev_gen})
+    # lands the promote is replayable from any crash. Atomic write: a
+    # torn marker must never be mistaken for a commit.
+    _atomic_write_text(
+        base / _COMPACT_MARKER,
+        json.dumps({"folded_generations": prev_gen}),
     )
     _finish_compaction(base)
     return {"compacted": True, "folded_generations": prev_gen}

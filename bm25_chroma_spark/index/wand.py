@@ -37,7 +37,13 @@ Posting-cap semantics: the BUILD cap (reference bm25.py:190-191) is
 honored physically by the sharded build — per-term global top-cap in
 (tf desc, doc_id asc) order via threshold filtering at encode time
 (shards.py _cap_thresholds), re-applied on every DML merge — so
-capped indexes score rank-identically to the reference. The QUERY
+capped indexes score rank-identically to the reference when the cap
+boundary is tie-free. (At a tf tie exactly on the cap boundary the
+reference keeps earlier-INSERTED postings — heapq.merge stability
+over Counter.most_common insertion order, bm25.py:190-213 — an
+ingestion-order-dependent, underdetermined choice; we keep smallest
+doc_id, the only order a distributed build can reproduce. See
+test_caps_golden, which pins distinct tfs for this reason.) The QUERY
 cap (bm25.py:283 — score only the first N postings of the tf-ordered
 list) is a traversal-order semantic the doc-ordered segments cannot
 reproduce; that one is ENFORCED, not assumed: ``search_sharded``
@@ -285,16 +291,21 @@ def _bmw_topk(
     return out
 
 
-def _auto_strategy(
+def _wand_vote_qids(
     qt_data: List[tuple],
     df_by_term: dict,
     n: float,
     top_k: int,
     block_size: int,
     n_segments: int = 1,
-) -> str:
-    """Pick wand vs exhaustive from driver-side stats only (per-term
-    df; no data touched).
+) -> set:
+    """PER-QUERY wand-vs-exhaustive votes from driver-side stats only
+    (per-term df; no data touched). Returns the set of query_ids for
+    which WAND is predicted to win; search_sharded(strategy='auto')
+    routes each query down its own path — a mixed batch (half
+    anchored, half flat) no longer drags its minority half through
+    the wrong engine, which at 1M docs is a measured 3.5x penalty
+    either direction.
 
     WAND beats the vectorized exhaustive scan only when block
     skipping mathematically ENGAGES: a high-idf ANCHOR term must
@@ -328,11 +339,11 @@ def _auto_strategy(
     def idf(df_t: float) -> float:
         return math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
 
-    votes = 0
+    wand_qids: set = set()
     queries = {}
     for qid, term, _ in qt_data:
         queries.setdefault(qid, []).append(term)
-    for terms in queries.values():
+    for qid, terms in queries.items():
         dfs = [df_by_term.get(t, 0) for t in terms]
         total = sum(dfs)
         if total < 50_000:
@@ -353,8 +364,30 @@ def _auto_strategy(
             and bounds_discriminate
             and skipping_engages
         ):
-            votes += 1
-    return "wand" if votes * 2 >= len(queries) and votes else "exhaustive"
+            wand_qids.add(qid)
+    return wand_qids
+
+
+def _auto_strategy(
+    qt_data: List[tuple],
+    df_by_term: dict,
+    n: float,
+    top_k: int,
+    block_size: int,
+    n_segments: int = 1,
+) -> str:
+    """Batch-level majority vote over _wand_vote_qids (kept as the
+    calibration/test surface — test_auto_strategy_rule pins the rule's
+    regimes through it; search_sharded itself routes PER QUERY)."""
+    queries = {qid for qid, _, _ in qt_data}
+    votes = _wand_vote_qids(
+        qt_data, df_by_term, n, top_k, block_size, n_segments
+    )
+    return (
+        "wand"
+        if len(votes) * 2 >= len(queries) and votes
+        else "exhaustive"
+    )
 
 
 def search_sharded(
@@ -402,9 +435,6 @@ def search_sharded(
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score double, rank int"
         )
-    qt = spark.createDataFrame(
-        qt_data, "query_id long, term string, qtf int"
-    )
     shards = index.shards_for_terms(terms)
     n, avgdl = float(index.n_docs), float(index.avgdl)
 
@@ -456,19 +486,13 @@ def search_sharded(
             [(r["term"], int(r["df"])) for r in df_rows],
             "term string, df long",
         )
-        if strategy == "auto":
-            strategy = _auto_strategy(
-                qt_data,
-                {r["term"]: int(r["df"]) for r in df_rows},
-                n,
-                top_k,
-                cfg.block_size,
-                n_segments=cfg.salt_factor,
-            )
     else:
         dfs = dfs_subtree
 
-    if strategy == "exhaustive":
+    def _run_exhaustive(sub_qt: List[tuple]) -> DataFrame:
+        qt = spark.createDataFrame(
+            sub_qt, "query_id long, term string, qtf int"
+        )
         decoded = decode_shards_to_postings(shards)
         joined = decoded.join(F.broadcast(dfs), "term").join(
             F.broadcast(qt), "term"
@@ -500,89 +524,119 @@ def search_sharded(
             .select("query_id", "doc_id", "score", "rank")
         )
 
+    def _run_wand(sub_qt: List[tuple]) -> DataFrame:
+        # --- Block-Max WAND, parallel per (segment, query-group) ---
+        # Segments partition the DOC space (segment = f(doc_id)), so
+        # every document's full score lives inside one segment:
+        # running an independent WAND per (query, segment) and keeping
+        # each segment's top-k provably covers the global top-k.
+        #
+        # Shuffle discipline: each (term, segment)'s compressed
+        # posting bytes are shipped ONCE per (segment, query-group),
+        # never once per query. The earlier per-(query, segment)
+        # grouping replicated every hot term's bytes |queries| times
+        # through the Arrow shuffle, and that replication — not the
+        # DAAT loop — dominated (measured r3, 32-query batch at 200k
+        # docs: 11.3s vs exhaustive's 5.2s). Queries ride the closure
+        # as a tiny driver-side spec (they are small by contract); a
+        # bounded query-group fan-out (n_qgroups ~
+        # 2*parallelism/segments) restores task parallelism at a
+        # replication factor of n_qgroups, not |queries|.
+        # df_rows is already driver-side when a cap guard or auto
+        # routing ran — don't re-launch the agg job for data we have
+        rows_df = df_rows if df_rows is not None else dfs.collect()
+        df_map = {r["term"]: int(r["df"]) for r in rows_df}
+        from collections import defaultdict
+
+        by_qid: dict = defaultdict(list)
+        for qid, term, qtf in sub_qt:
+            df_t = df_map.get(term)
+            if not df_t:
+                continue
+            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+            by_qid[qid].append((term, idf * float(qtf)))
+        qspec = sorted(by_qid.items())
+        if not qspec:
+            return spark.createDataFrame(
+                [], "query_id long, doc_id long, score double, rank int"
+            )
+        par = max(int(spark.sparkContext.defaultParallelism), 1)
+        n_seg = max(int(cfg.salt_factor), 1)
+        n_qg = max(1, min(len(qspec), -(-2 * par // n_seg)))
+        qg_df = spark.createDataFrame(
+            [(i,) for i in range(n_qg)], "qgroup int"
+        )
+        seg_shards = shards.crossJoin(F.broadcast(qg_df))
+        k1, b = cfg.k1, cfg.b
+
+        def run_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            qg = int(pdf["qgroup"].iloc[0])
+            rows = {r.term: r for r in pdf.itertuples(index=False)}
+            qids: List[int] = []
+            dids: List[int] = []
+            scores: List[float] = []
+            for qid, terms_w in qspec[qg::n_qg]:
+                cursors = []
+                for term, w in terms_w:
+                    r = rows.get(term)
+                    if r is None or len(r.blocks) == 0:
+                        continue
+                    cursors.append(_Cursor(r, w, k1, b, avgdl))
+                for d, s in _bmw_topk(cursors, top_k, score_round):
+                    qids.append(qid)
+                    dids.append(d)
+                    scores.append(s)
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(qids, dtype="int64"),
+                    "doc_id": pd.Series(dids, dtype="int64"),
+                    "score": pd.Series(scores, dtype="float64"),
+                }
+            )
+
+        candidates = seg_shards.groupBy("segment", "qgroup").applyInPandas(
+            run_segment_group,
+            schema="query_id long, doc_id long, score double",
+        )
+        if score_round is not None:
+            candidates = candidates.withColumn(
+                "score", F.round("score", score_round)
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
+    if strategy == "auto":
+        # PER-QUERY routing: each query runs on the engine its own
+        # df profile votes for; a mixed batch unions two disjoint
+        # result sets instead of dragging its minority half through
+        # the wrong (measured 3.5x slower) path.
+        wand_qids = _wand_vote_qids(
+            qt_data,
+            {r["term"]: int(r["df"]) for r in df_rows},
+            n,
+            top_k,
+            cfg.block_size,
+            n_segments=cfg.salt_factor,
+        )
+        wand_qt = [x for x in qt_data if x[0] in wand_qids]
+        exh_qt = [x for x in qt_data if x[0] not in wand_qids]
+        if not wand_qt:
+            strategy = "exhaustive"
+        elif not exh_qt:
+            strategy = "wand"
+        else:
+            return _run_exhaustive(exh_qt).unionByName(_run_wand(wand_qt))
+
+    if strategy == "exhaustive":
+        return _run_exhaustive(qt_data)
+
     if strategy != "wand":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    # --- Block-Max WAND, parallel per (segment, query-group) ---
-    # Segments partition the DOC space (segment = f(doc_id)), so every
-    # document's full score lives inside one segment: running an
-    # independent WAND per (query, segment) and keeping each segment's
-    # top-k provably covers the global top-k.
-    #
-    # Shuffle discipline: each (term, segment)'s compressed posting
-    # bytes are shipped ONCE per (segment, query-group), never once
-    # per query. The earlier per-(query, segment) grouping replicated
-    # every hot term's bytes |queries| times through the Arrow
-    # shuffle, and that replication — not the DAAT loop — dominated
-    # (measured r3, 32-query batch at 200k docs: 11.3s vs exhaustive's
-    # 5.2s). Queries ride the closure as a tiny driver-side spec
-    # (they are small by contract); a bounded query-group fan-out
-    # (n_qgroups ~ 2*parallelism/segments) restores task parallelism
-    # at a replication factor of n_qgroups, not |queries|.
-    # df_rows is already driver-side when a cap guard or auto routing
-    # ran — don't re-launch the agg job for data we have
-    if df_rows is None:
-        df_rows = dfs.collect()
-    df_map = {r["term"]: int(r["df"]) for r in df_rows}
-    from collections import defaultdict
-
-    by_qid: dict = defaultdict(list)
-    for qid, term, qtf in qt_data:
-        df_t = df_map.get(term)
-        if not df_t:
-            continue
-        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
-        by_qid[qid].append((term, idf * float(qtf)))
-    qspec = sorted(by_qid.items())
-    if not qspec:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, score double, rank int"
-        )
-    par = max(int(spark.sparkContext.defaultParallelism), 1)
-    n_seg = max(int(cfg.salt_factor), 1)
-    n_qg = max(1, min(len(qspec), -(-2 * par // n_seg)))
-    qg_df = spark.createDataFrame([(i,) for i in range(n_qg)], "qgroup int")
-    seg_shards = shards.crossJoin(F.broadcast(qg_df))
-    k1, b = cfg.k1, cfg.b
-
-    def run_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        qg = int(pdf["qgroup"].iloc[0])
-        rows = {r.term: r for r in pdf.itertuples(index=False)}
-        qids: List[int] = []
-        dids: List[int] = []
-        scores: List[float] = []
-        for qid, terms in qspec[qg::n_qg]:
-            cursors = []
-            for term, w in terms:
-                r = rows.get(term)
-                if r is None or len(r.blocks) == 0:
-                    continue
-                cursors.append(_Cursor(r, w, k1, b, avgdl))
-            for d, s in _bmw_topk(cursors, top_k, score_round):
-                qids.append(qid)
-                dids.append(d)
-                scores.append(s)
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(qids, dtype="int64"),
-                "doc_id": pd.Series(dids, dtype="int64"),
-                "score": pd.Series(scores, dtype="float64"),
-            }
-        )
-
-    candidates = seg_shards.groupBy("segment", "qgroup").applyInPandas(
-        run_segment_group,
-        schema="query_id long, doc_id long, score double",
-    )
-    if score_round is not None:
-        candidates = candidates.withColumn(
-            "score", F.round("score", score_round)
-        )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    return _run_wand(qt_data)

@@ -138,11 +138,17 @@ def knn_lsh(
     Candidates = corpus rows sharing a bucket with the query in ANY of
     the ``n_tables`` independent tables, where the query probes its own
     bucket plus every bucket within Hamming distance ``multiprobe`` (the
-    probe fan-out lives on the tiny broadcast side — the corpus is
-    hashed exactly once per table). Exact cosine re-rank on the
-    candidate set. At 100 TB the bucket join replaces the full cross
-    join: cost ~ corpus_size * tables * (1 + planes*probe) / 2^planes
-    per query.
+    probe fan-out lives on the tiny broadcast side). Exact cosine
+    re-rank on the candidate set. At 100 TB the bucket join replaces
+    the full cross join: cost ~ corpus_size * tables *
+    (1 + planes*probe) / 2^planes per query.
+
+    Shuffle discipline (mirrors ``embedding_near_dups``): the corpus is
+    scanned for vectors exactly TWICE — once to emit all ``n_tables``
+    signatures in a single posexplode'd pass, once to join vectors back
+    for the final rerank. Candidate generation itself is ID-ONLY: the
+    per-table bucket joins and the cross-table distinct shuffle bare
+    (query_id, vec_id) pairs, never the (possibly 1k-dim) vectors.
     """
     spark = embeddings.sparkSession
     dim = len(query_vecs[0])
@@ -164,15 +170,29 @@ def knn_lsh(
         ]
     masks_col = F.array(*[F.lit(m).cast("long") for m in masks])
 
-    cand = None
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-        e_sig = e.select(
-            "vec_id", "vec", _signature(F.col("vec"), planes).alias("sig")
-        )
-        q_sig = q.select(
+    all_planes = [
+        hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+
+    # ONE corpus pass: every table's signature as an array element, then
+    # posexplode to (vec_id, tbl, sig). Narrow, map-side, codegen'd.
+    e_sig = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[_signature(F.col("vec"), p) for p in all_planes]
+            )
+        ).alias("tbl", "sig"),
+    )
+
+    # Query side (tiny, broadcast): per-table signature computed once,
+    # XOR'd against the probe-mask array for the multiprobe fan-out.
+    q_sig = None
+    for t, planes in enumerate(all_planes):
+        part = q.select(
             "query_id",
-            "qvec",
+            F.lit(t).alias("tbl"),
             F.explode(
                 F.transform(
                     masks_col,
@@ -181,12 +201,15 @@ def knn_lsh(
                 )
             ).alias("sig"),
         )
-        pairs = e_sig.join(F.broadcast(q_sig), "sig").select(
-            "query_id", "vec_id", "vec", "qvec"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+        q_sig = part if q_sig is None else q_sig.unionByName(part)
 
-    cand = cand.dropDuplicates(["query_id", "vec_id"])
+    pairs = (
+        e_sig.join(F.broadcast(q_sig), ["tbl", "sig"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    # vectors rejoin exactly once, post-dedup, for the exact rerank
+    cand = pairs.join(e, "vec_id").join(F.broadcast(q), "query_id")
     cos = _dot(F.col("vec"), F.col("qvec")) / (
         _norm(F.col("vec")) * _norm(F.col("qvec"))
     )

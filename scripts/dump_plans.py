@@ -99,6 +99,20 @@ def main() -> None:
         explain_str(knn_bruteforce(emb, qv, k=10)),
     ))
 
+    from bm25_chroma_spark.operators.knn import knn_lsh
+
+    sections.append((
+        "ANN knn_lsh: ONE posexplode'd signature pass over the corpus "
+        "(all n_tables signatures from a single embeddings scan), "
+        "bucket join against the broadcast multiprobe query side "
+        "emitting bare (query_id, vec_id) pairs, distinct on ids only "
+        "— no vector columns in the candidate exchange — then vectors "
+        "rejoin exactly once for the cosine rerank (embeddings scanned "
+        "for vectors twice total: signatures + rerank, not once per "
+        "table)",
+        explain_str(knn_lsh(emb, qv, k=10, n_tables=4)),
+    ))
+
     from bm25_chroma_spark.operators.dedup import embedding_near_dups
 
     sections.append((

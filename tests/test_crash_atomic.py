@@ -272,3 +272,86 @@ def test_compact_store_crash_keeps_overlay_identical(
     assert {
         row["doc_uid"]: row["text"] for row in r.corpus_df().collect()
     } == live_before
+
+
+# ------------------------------------------------------------------ #
+# torn small-file writes (stats.json / compaction marker)             #
+# ------------------------------------------------------------------ #
+
+
+def test_torn_stats_write_never_visible(spark, tmp_path, monkeypatch):
+    """A crash anywhere inside the stats write must leave the OLD
+    stats.json readable (stage-to-tmp + os.replace): a torn stats.json
+    would brick the index — _read_stats raises on every open before
+    recovery can run."""
+    import os
+
+    idx_dir = _build(spark, str(tmp_path / "idx"))
+    before_text = (Path(idx_dir) / "stats.json").read_text()
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if str(dst).endswith("stats.json"):
+            raise RuntimeError("injected crash at replace")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        dml_mod._write_stats(Path(idx_dir), {"garbage": True})
+    monkeypatch.undo()
+
+    # old stats intact and parseable; the leftover .tmp is invisible
+    assert (Path(idx_dir) / "stats.json").read_text() == before_text
+    idx = ShardedIndex(spark, idx_dir)
+    assert idx.n_docs == len(DOCS)
+
+    # a leftover torn .tmp from a previous crash never breaks opens
+    (Path(idx_dir) / "stats.json.tmp").write_text('{"trunc')
+    ShardedIndex(spark, idx_dir)
+
+
+def test_concurrent_finish_compaction_is_serialized(spark, tmp_path):
+    """Two concurrent opens racing recover_index on a committed
+    compaction: the flock serializes the destructive promote — exactly
+    one process-equivalent does the work, the loser observes the
+    finished state, and the index is intact (the unguarded TOCTOU race
+    could rmtree the freshly promoted shards)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    idx_dir = _build(spark, str(tmp_path / "idx"))
+    _dml_delete(spark, idx_dir, 1, DOCS[0][1])
+    want = _results(spark, idx_dir)
+
+    # drive compact_index to the committed-but-unpromoted state:
+    # no-op the post-marker _finish_compaction call (the first call,
+    # pre-marker healing, must pass through)
+    calls = {"n": 0}
+    real_finish = dml_mod._finish_compaction
+
+    def gated(base):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            return False  # crash simulated right after the marker
+        return real_finish(base)
+
+    dml_mod._finish_compaction = gated
+    try:
+        compact_index(spark, idx_dir)
+    finally:
+        dml_mod._finish_compaction = real_finish
+
+    base = Path(idx_dir)
+    assert (base / dml_mod._COMPACT_MARKER).exists()
+    assert (base / "shards_compacting").exists()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        outcomes = list(
+            pool.map(lambda _: real_finish(base), range(2))
+        )
+    # exactly one promoted; the other saw the finished state under lock
+    assert sorted(outcomes) == [False, True]
+    assert not (base / dml_mod._COMPACT_MARKER).exists()
+    assert (base / "shards").exists()
+    assert not (base / "shards_compacting").exists()
+    assert _results(spark, idx_dir) == want

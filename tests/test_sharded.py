@@ -369,3 +369,53 @@ def test_auto_strategy_results_identical(spark, shard_dir, queries_df):
         idx, queries_df, top_k=10, strategy="exhaustive"
     ).collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in e}
+
+
+def test_wand_vote_qids_is_per_query():
+    """A mixed batch votes per QUERY: the anchored query goes to wand,
+    the flat one to exhaustive — not one majority strategy for both."""
+    from bm25_chroma_spark.index.wand import _wand_vote_qids
+
+    BS = 128
+    dfm = {
+        "anchor": 10_000,
+        "hot1": 90_000_000,
+        "hot2": 100_000_000,
+    }
+    qt = [
+        (1, "anchor", 1), (1, "hot1", 1), (1, "hot2", 1),  # anchored
+        (2, "hot1", 1), (2, "hot2", 1),                    # flat
+    ]
+    assert _wand_vote_qids(qt, dfm, 1e8, 10, BS) == {1}
+
+
+def test_auto_mixed_batch_union_matches_exhaustive(
+    spark, shard_dir, queries_df, monkeypatch
+):
+    """Force a mixed per-query vote and check the split execution
+    (exhaustive sublist UNION wand sublist) returns exactly what a
+    single-strategy run returns for every query."""
+    import bm25_chroma_spark.index.wand as wand_mod
+
+    qids = sorted(
+        r["query_id"] for r in queries_df.select("query_id").collect()
+    )
+    assert len(qids) >= 2
+    forced = set(qids[::2])  # every other query votes wand
+
+    monkeypatch.setattr(
+        wand_mod, "_wand_vote_qids", lambda *a, **k: forced
+    )
+    idx = ShardedIndex(spark, shard_dir)
+    mixed = search_sharded(
+        idx, queries_df, top_k=10, strategy="auto"
+    ).collect()
+    ex = search_sharded(
+        idx, queries_df, top_k=10, strategy="exhaustive"
+    ).collect()
+    m = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in mixed}
+    e = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in ex}
+    assert set(m) == set(e)
+    for k in e:
+        assert m[k][0] == e[k][0], k
+        assert math.isclose(m[k][1], e[k][1], rel_tol=1e-9), k
