@@ -259,6 +259,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     n_tables: int = 4,
     token_hash: str = "blake2b",
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """-> (id_a, id_b, hamming): pairs within ``max_hamming`` bits.
 
@@ -268,6 +269,21 @@ def simhash_near_dups(
     all of them without an all-pairs scan. (For max_hamming above
     n_tables - 1 the blocking is a deterministic recall filter — the
     SQL oracle mirrors it exactly.)
+
+    ``max_bucket`` guards the one quadratic failure mode: a DEGENERATE
+    chunk bucket (classically sig=0 from millions of empty/near-empty
+    docs) turns the chunk-equality self-join into an all-pairs blow-up
+    inside that bucket. With a cap, (tbl, chunk) buckets larger than
+    ``max_bucket`` rows are excluded from the approximate join and
+    their members are instead paired by EXACT signature equality as a
+    linear star (every doc to its group's min id, hamming 0) — the
+    same connected components for clustering at O(bucket) instead of
+    O(bucket^2) pairs. Near-but-not-identical pairs hiding ONLY in an
+    oversized bucket are a documented recall loss (they are exactly
+    the pairs whose enumeration is the blow-up). The bucket-size
+    count reuses the chunked pass; the oversize list is tiny
+    (<= n_tables * 2^16 rows) and broadcast. Default None keeps the
+    exact oracle-mirrored semantics.
     """
     sigs = df.select(
         F.col(id_col).alias("id"),
@@ -286,6 +302,30 @@ def simhash_near_dups(
             )
         ).alias("tbl", "chunk"),
     )
+    star = None
+    if max_bucket is not None:
+        over = (
+            chunked.groupBy("tbl", "chunk")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("tbl", "chunk")
+        )
+        overflow = (
+            chunked.join(F.broadcast(over), ["tbl", "chunk"], "left_semi")
+            .select("id", "sig")
+            .distinct()
+        )
+        rep = overflow.withColumn(
+            "rep", F.min("id").over(Window.partitionBy("sig"))
+        )
+        star = rep.filter(F.col("id") != F.col("rep")).select(
+            F.col("rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+        chunked = chunked.join(
+            F.broadcast(over), ["tbl", "chunk"], "left_anti"
+        )
     l, r = chunked.alias("l"), chunked.alias("r")
     cand = (
         l.join(
@@ -305,10 +345,15 @@ def simhash_near_dups(
     hamming = F.bit_count(
         F.col("sig_a").bitwiseXOR(F.col("sig_b"))
     )
-    return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+    out = (
+        cand.select(
+            "id_a", "id_b", hamming.cast("int").alias("hamming")
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
+    if star is not None:
+        out = out.unionByName(star).distinct()
+    return out
 
 
 # ------------------------------------------------------------------ #

@@ -282,6 +282,63 @@ def ivf_seed_centroids(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_centroids: Optional[List[List[float]]] = None,
+) -> List[List[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Each iteration is ONE Spark aggregation job: assignment reuses the
+    narrow whole-stage-codegen'd ``ivf_assign_cells`` pass, and the
+    centroid update is a map-side-combined groupBy(cell) with
+    per-dimension ``sum(vec[i])`` expressions — no posexplode (which
+    would multiply the shuffle by ``dim``), no vectors collected to
+    the driver; only the (n_cells x dim) sums come back. Empty cells
+    keep their previous centroid. Deterministic given the seeds
+    (medoid seeds by default), so results are reproducible across
+    runs and cluster sizes.
+
+    FAISS-style trained cells give materially better recall-per-nprobe
+    than raw medoid seeds on clustered data (see
+    test_ivf_trained_centroids_beat_seeds); the seeds remain the
+    default in ``knn_ivf`` only because the correctness oracle mirrors
+    their bit-exact assignment in SQL.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if seed_centroids is None:
+        seed_centroids = ivf_seed_centroids(
+            embeddings, n_cells, id_col, vec_col
+        )
+    centroids = [list(map(float, c)) for c in seed_centroids]
+    dim = len(centroids[0])
+    sum_exprs = [
+        F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(dim)
+    ]
+    for _ in range(n_iters):
+        assigned = ivf_assign_cells(e, centroids)
+        rows = (
+            assigned.groupBy("cell")
+            .agg(F.count("*").alias("n"), *sum_exprs)
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cells keep
+        for r in rows:
+            n = float(r["n"])
+            if n > 0:
+                new_centroids[int(r["cell"])] = [
+                    float(r[f"s{i}"]) / n for i in range(dim)
+                ]
+        centroids = new_centroids
+    return centroids
+
+
 def ivf_assign_cells(
     e: DataFrame, centroids: List[List[float]], vec_col: str = "vec"
 ) -> DataFrame:

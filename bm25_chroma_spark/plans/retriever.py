@@ -169,10 +169,25 @@ class SparkHybridRetriever:
         config: Optional[BM25Config] = None,
         bucket_groups: int = 1,
         auto_compact_after: int = 16,
+        ann_threshold: Optional[int] = 100_000,
+        ann_nprobe: Optional[int] = None,
     ):
         """auto_compact_after: fold DML generations back into the base
         once that many accumulate (bounds read amplification under
         sustained DML; 0/None disables).
+
+        ann_threshold: corpus size above which the vector leg routes
+        through IVF ANN (trained coarse quantizer, cached per corpus
+        state) instead of exact KNN. Below it, exact brute-force KNN
+        stays the default — it is deterministic and matches the
+        reference's result contract bit-for-bit, while ANN trades a
+        bounded recall loss for probe cost ~ nprobe/n_cells of the
+        corpus. Measured on the adversarial tiny fixture in
+        test_facade_ann_leg (near-tie hashed-BoW vectors): overlap
+        with exact top-10 is 0.8 at the default nprobe=n_cells/4 and
+        0.9 at nprobe=n_cells/2 — tune ``ann_nprobe`` (default
+        max(2, n_cells//4)) to trade recall for scan cost. None
+        disables ANN routing entirely.
 
         The default config is LOSSLESS (no posting caps): the
         retriever's index is the sharded path, whose query guard
@@ -192,6 +207,11 @@ class SparkHybridRetriever:
         )
         self.bucket_groups = bucket_groups
         self.auto_compact_after = auto_compact_after
+        self.ann_threshold = ann_threshold
+        self.ann_nprobe = ann_nprobe
+        # (corpus-state key, trained centroids) — invalidated whenever
+        # the key (index generation, n_docs, vector gen count) moves
+        self._ann_state: Optional[Tuple] = None
         (self.state / "corpus").mkdir(parents=True, exist_ok=True)
         (self.state / "vectors").mkdir(parents=True, exist_ok=True)
         self._index: Optional[ShardedIndex] = None
@@ -515,30 +535,10 @@ class SparkHybridRetriever:
 
     def search_vector(self, query: str, top_k: int = 50
                       ) -> List[Tuple[str, float]]:
-        """Exact KNN over the vectors table; sim = 1/(1+dist)
-        (reference hybrid_retriever.py:266)."""
-        vecs = self.vectors_df()
-        if vecs.isEmpty():
-            return []
-        from bm25_chroma_spark.operators.knn import knn_bruteforce
-
-        qv = self.embed([query])[0]
-        res = knn_bruteforce(
-            vecs.withColumn(
-                "vec_id", _doc_id_expr(F.col("doc_uid"))
-            ),
-            [qv],
-            k=top_k,
-            id_col="vec_id",
-            vec_col="embedding",
-        )
-        uid = self._uid_map().withColumnRenamed("doc_id", "vec_id")
-        rows = (
-            res.join(uid, "vec_id").orderBy("rank")
-            .select("doc_uid", "sim")
-            .collect()
-        )
-        return [(r["doc_uid"], r["sim"]) for r in rows]
+        """Vector leg; sim = 1/(1+dist) (reference
+        hybrid_retriever.py:266). Exact KNN below ``ann_threshold``
+        (reference-deterministic), IVF ANN above (see _vector_lists)."""
+        return self._vector_lists([query], top_k)[0]
 
     def hybrid_search(
         self,
@@ -601,23 +601,67 @@ class SparkHybridRetriever:
             out[r["query_id"]].append((r["doc_uid"], r["score"]))
         return out
 
+    def _ann_centroids(self, src: DataFrame, n_live: int) -> list:
+        """Trained IVF coarse quantizer, cached per corpus state: the
+        (generation, n_docs, vector-gen-count) key moves on every
+        mutation, so DML invalidates the cache and queries between
+        mutations reuse one training run. n_cells ~ sqrt(N) (the
+        classic IVF sizing: probe cost ~ nprobe * N / n_cells)."""
+        import math as _math
+
+        from bm25_chroma_spark.operators.knn import ivf_train_centroids
+
+        key = (
+            self._index.generation if self._index else -1,
+            n_live,
+            len(sorted((self.state / "vectors").glob("gen_*.parquet"))),
+        )
+        if self._ann_state is None or self._ann_state[0] != key:
+            n_cells = max(8, int(_math.isqrt(max(n_live, 1))))
+            centroids = ivf_train_centroids(
+                src, n_cells, n_iters=3,
+                id_col="vec_id", vec_col="embedding",
+            )
+            self._ann_state = (key, centroids)
+        return self._ann_state[1]
+
     def _vector_lists(
         self, query_texts: List[str], top_k: int
     ) -> List[List[Tuple[str, float]]]:
-        """Vector leg for ALL queries in one knn_bruteforce call."""
+        """Vector leg for ALL queries in ONE knn call — exact
+        brute-force below ``ann_threshold`` (reference-deterministic),
+        IVF ANN above it (the at-scale path: probe ~ nprobe/n_cells of
+        the corpus instead of a full scan)."""
         out: List[List[Tuple[str, float]]] = [[] for _ in query_texts]
         vecs = self.vectors_df()
         if vecs.isEmpty():
             return out
-        from bm25_chroma_spark.operators.knn import knn_bruteforce
+        from bm25_chroma_spark.operators.knn import knn_bruteforce, knn_ivf
 
-        res = knn_bruteforce(
-            vecs.withColumn("vec_id", _doc_id_expr(F.col("doc_uid"))),
-            self.embed(query_texts),
-            k=top_k,
-            id_col="vec_id",
-            vec_col="embedding",
-        )
+        src = vecs.withColumn("vec_id", _doc_id_expr(F.col("doc_uid")))
+        qvecs = self.embed(query_texts)
+        n_live = self._index.n_docs if self._index is not None else 0
+        if self.ann_threshold is not None and n_live >= self.ann_threshold:
+            centroids = self._ann_centroids(src, n_live)
+            n_cells = len(centroids)
+            res = knn_ivf(
+                src,
+                qvecs,
+                k=top_k,
+                id_col="vec_id",
+                vec_col="embedding",
+                n_cells=n_cells,
+                nprobe=self.ann_nprobe or max(2, n_cells // 4),
+                centroids=centroids,
+            )
+        else:
+            res = knn_bruteforce(
+                src,
+                qvecs,
+                k=top_k,
+                id_col="vec_id",
+                vec_col="embedding",
+            )
         uid = self._uid_map().withColumnRenamed("doc_id", "vec_id")
         rows = res.join(uid, "vec_id").select(
             "query_id", "doc_uid", "sim", "rank"

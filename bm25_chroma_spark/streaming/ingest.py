@@ -192,6 +192,9 @@ def stream_dedup_first_seen(
     id_col: str = "doc_id",
     text_col: str = "text",
     schema: str = "doc_id long, text string",
+    state_ttl: Optional[str] = None,
+    ts_col: str = "ts",
+    use_rocksdb: bool = False,
 ) -> StreamingQuery:
     """Streaming exact dedup — the streaming form of
     operators/dedup.py::dedup_exact, built on the custom-stateful-
@@ -200,11 +203,23 @@ def stream_dedup_first_seen(
     within a micro-batch broken by smallest doc_id) is emitted to the
     parquet sink, every later duplicate is dropped.
 
-    State is O(distinct hashes) booleans — the minimal dedup state;
-    at 100 TB you bound it with the RocksDB state store and (if the
-    stream has event time) a watermark-based TTL instead of
-    NoTimeout. Exactly-once via the streaming checkpoint + append
-    sink."""
+    State is O(distinct hashes) booleans — the minimal dedup state.
+    On an UNBOUNDED stream that is still unbounded growth, so the two
+    at-scale knobs are first-class here:
+
+    * ``state_ttl`` (e.g. "7 days"; requires an event-time ``ts_col``
+      in the schema): the state carries an EventTimeTimeout set to the
+      first-seen document's event time, and the stream is watermarked
+      by the TTL — once the watermark passes that point the hash's
+      state is REMOVED and a later duplicate re-admits (dedup window
+      semantics, the standard bounded-state contract). State is then
+      O(distinct hashes within one TTL window).
+    * ``use_rocksdb``: swaps the in-memory HDFS state store for the
+      RocksDB provider (spills to local disk, incremental
+      checkpointing) — the store you'd run at 100 TB where even the
+      windowed hash set exceeds executor heap.
+
+    Exactly-once via the streaming checkpoint + append sink."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
@@ -215,16 +230,28 @@ def stream_dedup_first_seen(
         StructType,
     )
 
+    if use_rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    hashed = stream.select(
+    cols = [
         F.sha2(F.col(text_col), 256).alias("content_hash"),
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
-    )
+    ]
+    if state_ttl is not None:
+        cols.append(F.col(ts_col).cast("timestamp").alias("ts"))
+    hashed = stream.select(*cols)
+    if state_ttl is not None:
+        hashed = hashed.withWatermark("ts", state_ttl)
 
     out_schema = StructType(
         [
@@ -234,17 +261,29 @@ def stream_dedup_first_seen(
         ]
     )
     state_schema = StructType([StructField("seen", BooleanType())])
+    with_ttl = state_ttl is not None
 
     def first_seen(key, pdfs, state):
+        if with_ttl and state.hasTimedOut:
+            # watermark passed the first-seen event time + TTL: drop
+            # the hash from state — a later duplicate re-admits
+            state.remove()
+            return
         if state.exists:
-            return  # hash already emitted in an earlier batch
-        best_id, best_text = None, None
+            return  # hash already emitted within the dedup window
+        best_id, best_text, best_ts = None, None, None
         for pdf in pdfs:
             i = pdf["doc_id"].idxmin()
             if best_id is None or int(pdf["doc_id"][i]) < best_id:
                 best_id = int(pdf["doc_id"][i])
                 best_text = pdf["text"][i]
+                if with_ttl:
+                    best_ts = pd.Timestamp(pdf["ts"][i])
         state.update((True,))
+        if with_ttl:
+            # expires when the watermark (event-time high mark minus
+            # the TTL delay) passes the first-seen event time
+            state.setTimeoutTimestamp(int(best_ts.value // 10**6))
         yield pd.DataFrame(
             [
                 {
@@ -260,7 +299,9 @@ def stream_dedup_first_seen(
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout
+        if with_ttl
+        else GroupStateTimeout.NoTimeout,
     )
     return (
         deduped.writeStream.format("parquet")

@@ -362,3 +362,48 @@ def test_dup_clusters_fuzz_vs_union_find(spark):
             for r in dup_clusters(pairs, ids=ids).collect()
         }
         assert got == want, (trial, n, edges)
+
+
+def test_simhash_degenerate_bucket_cap(spark):
+    """Thousands of empty docs all hash to sig=0: without a cap the
+    chunk-equality self-join enumerates a quadratic bucket (~12.5M
+    pairs at 5k docs). With max_bucket set, oversized buckets route to
+    linear exact-signature star pairs (same connected components),
+    while normal near-dup detection keeps working outside them."""
+    from bm25_chroma_spark.operators.dedup import (
+        dup_clusters,
+        simhash_near_dups,
+    )
+
+    n_empty = 5000
+    rows = [(i, "") for i in range(n_empty)] + [
+        (10001, "spark shuffle join broadcast window"),
+        (10002, "spark shuffle join broadcast window"),  # exact dup
+        (10003, "completely different gardening words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = simhash_near_dups(df, max_bucket=100).collect()
+
+    star = [(r["id_a"], r["id_b"]) for r in res if r["id_b"] < n_empty]
+    other = [
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in res
+        if r["id_b"] >= n_empty
+    ]
+    # LINEAR star over the degenerate sig-0 group, anchored at min id
+    assert len(star) == n_empty - 1
+    assert all(a == 0 for a, _ in star)
+    # the ordinary near-dup pair outside the bucket is still found
+    assert (10001, 10002, 0) in other
+    assert all(b != 10003 for _, b, _ in other)
+
+    # clustering on the capped pairs: one component for the empties
+    pairs = simhash_near_dups(df, max_bucket=100)
+    clusters = {
+        r["id"]: r["cluster_id"]
+        for r in dup_clusters(
+            pairs.select("id_a", "id_b"), ids=df.select("doc_id")
+        ).collect()
+    }
+    assert len({clusters[i] for i in range(n_empty)}) == 1
+    assert clusters[10001] == clusters[10002] != clusters[10003]

@@ -275,3 +275,55 @@ def test_stream_dedup_first_seen_matches_batch(spark, tmp_path):
     }
     assert {d for d, _ in got} == set(want_ids)  # {1, 2, 5, 7}
     assert {d for d, _ in got} == {1, 2, 5, 7}
+
+
+def test_stream_dedup_ttl_bounds_state_and_readmits(spark, tmp_path):
+    """state_ttl turns unbounded dedup state into a window: once the
+    watermark passes a hash's first-seen event time + TTL, its state
+    is removed — a duplicate arriving AFTER the window re-admits,
+    while duplicates INSIDE the window still drop. This is the
+    bounded-state contract for unbounded streams (the NoTimeout
+    variant above would keep every hash forever)."""
+    from bm25_chroma_spark.streaming.ingest import stream_dedup_first_seen
+
+    T0 = "2026-01-01 00:00:00"
+    batches = [
+        # (doc_id, text, event ts)
+        [(1, "dup text", T0)],
+        [(2, "dup text", "2026-01-01 00:01:00"),   # inside TTL: drop
+         (3, "other a", "2026-01-01 00:10:00")],   # advances watermark
+        [(4, "other b", "2026-01-01 00:20:00")],   # hash(1) times out
+        [(5, "dup text", "2026-01-01 00:30:00")],  # after TTL: readmit
+    ]
+    flat = tmp_path / "ttl_src"
+    flat.mkdir()
+    import shutil
+
+    out = tmp_path / "ttl_out"
+    for bi, rows in enumerate(batches):
+        tmp = tmp_path / f"ttl_stage{bi}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp))
+        for n, p in enumerate(sorted(tmp.rglob("*.parquet"))):
+            shutil.copy(p, flat / f"b{bi}_{n}.parquet")
+        # run after EVERY file so the watermark advances between
+        # micro-batches (it persists in the checkpoint across runs)
+        q = stream_dedup_first_seen(
+            spark,
+            str(flat),
+            str(tmp_path / "ttl_ck"),
+            str(out),
+            schema="doc_id long, text string, ts timestamp",
+            state_ttl="5 minutes",
+        )
+        q.awaitTermination(120)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    # 2 dropped (same hash as 1, inside the 5-minute window);
+    # 5 re-admitted (hash expired when the watermark passed 00:05)
+    assert got == [1, 3, 4, 5], got
