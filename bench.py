@@ -180,6 +180,23 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
             t0 = time.time()
             search_sharded(sharded4, wq1m, top_k=10, strategy=strat).collect()
             timings[f"wand_1m_{strat}"] = time.time() - t0
+
+        # 7b. MIXED batch (r4): 8 anchored queries (vote wand) + 8
+        # flat hot-only queries (vote exhaustive — WAND degenerates to
+        # a full Python DAAT on them). Per-query routing runs each
+        # half on its own engine and unions the results; the win
+        # condition is auto < min(exhaustive, wand), since either
+        # single strategy drags half the batch through its measured
+        # worst case.
+        wq_mix = [
+            (i, f"hota hotb hotc anchor{7 * i + 3}") for i in range(8)
+        ] + [(8 + i, "hota hotb hotc") for i in range(8)]
+        for strat in ("exhaustive", "wand", "auto"):
+            t0 = time.time()
+            search_sharded(
+                sharded4, wq_mix, top_k=10, strategy=strat
+            ).collect()
+            timings[f"wand_mixed_{strat}"] = time.time() - t0
         shutil.rmtree(out4, ignore_errors=True)
 
     shutil.rmtree(out, ignore_errors=True)
