@@ -150,17 +150,22 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         search_sharded(sharded3, wq, top_k=10, strategy=strat).collect()
         timings[f"wand_regime_{strat}"] = time.time() - t0
 
-    # 7. WAND WIN regime (r3): 1M tiny docs where block skipping
-    # ENGAGES — 3 hot terms (df=N) + per-query anchors (df=500 >=
-    # 3*k*S, so every segment's top-k fills from the anchor), 16-query
-    # batch, k=10. Here exhaustive must decode the full hot lists and
-    # push |queries| x |hot postings| rows through the agg, while WAND
-    # block-skips the hot lists to the anchor docs only. Measured
-    # (32-query variant, this host): wand 21.8s vs exhaustive 75.7s —
-    # 3.5x — rank-identical under round-before-rank; 'auto' routes to
-    # wand via the per-segment fill rule (_auto_strategy). Single
-    # timed pass per strategy (JVM warm from earlier cases); set
-    # SPARK_GRAFT_WAND1M_FILES=0 to skip.
+    # 7. WAND WIN regime: 1M tiny docs where block skipping ENGAGES —
+    # 3 hot terms (df=N) + per-query anchors (df=500 >= 3*k*S, so
+    # every segment's top-k fills from the anchor), 32-query batch,
+    # k=10. Exhaustive must decode the full hot lists and push
+    # |queries| x |hot postings| rows through the agg, while WAND
+    # block-skips the hot lists to the anchor docs only — so the win
+    # GROWS with batch size. Measured STEADY-STATE (min-of-passes,
+    # r4, this host): 32 queries — wand 21.4-23.3s vs exhaustive
+    # 57.2-60.3s, a repeatable 2.6x (three interleaved reps); 16
+    # queries — statistical tie (11.2 vs 12.9). r3's published 3.5x
+    # compared a COLD exhaustive first pass against a warm wand pass;
+    # the min-of-2 timing below exists precisely to keep that ~3x
+    # cold-start swing out of round-over-round comparisons. All
+    # strategies rank-identical under round-before-rank; 'auto'
+    # routes per query via the per-segment fill rule
+    # (_wand_vote_qids). Set SPARK_GRAFT_WAND1M_FILES=0 to skip.
     wand1m = int(os.environ.get("SPARK_GRAFT_WAND1M_FILES", "1000000"))
     if wand1m:
         docs1m = spark.range(wand1m).selectExpr(
@@ -175,11 +180,23 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         )
         timings["wand_1m_build"] = time.time() - t0
         sharded4 = ShardedIndex(spark, out4)
-        wq1m = [(i, f"hota hotb hotc anchor{7 * i + 3}") for i in range(16)]
+        # min of two timed passes per strategy: single passes on this
+        # burstable host swing up to 3x (measured r4: a cold wand pass
+        # at 34.8s vs 12.6-15.0s across five repeats), which reads as
+        # a phantom regression round-over-round
+        def _timed_min(idx_, queries_, strat_):
+            best = float("inf")
+            for _ in range(2):
+                t = time.time()
+                search_sharded(
+                    idx_, queries_, top_k=10, strategy=strat_
+                ).collect()
+                best = min(best, time.time() - t)
+            return best
+
+        wq1m = [(i, f"hota hotb hotc anchor{7 * i + 3}") for i in range(32)]
         for strat in ("exhaustive", "wand", "auto"):
-            t0 = time.time()
-            search_sharded(sharded4, wq1m, top_k=10, strategy=strat).collect()
-            timings[f"wand_1m_{strat}"] = time.time() - t0
+            timings[f"wand_1m_{strat}"] = _timed_min(sharded4, wq1m, strat)
 
         # 7b. MIXED batch (r4): 8 anchored queries (vote wand) + 8
         # flat hot-only queries (vote exhaustive — WAND degenerates to
@@ -192,11 +209,9 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
             (i, f"hota hotb hotc anchor{7 * i + 3}") for i in range(8)
         ] + [(8 + i, "hota hotb hotc") for i in range(8)]
         for strat in ("exhaustive", "wand", "auto"):
-            t0 = time.time()
-            search_sharded(
-                sharded4, wq_mix, top_k=10, strategy=strat
-            ).collect()
-            timings[f"wand_mixed_{strat}"] = time.time() - t0
+            timings[f"wand_mixed_{strat}"] = _timed_min(
+                sharded4, wq_mix, strat
+            )
         shutil.rmtree(out4, ignore_errors=True)
 
     shutil.rmtree(out, ignore_errors=True)

@@ -19,15 +19,22 @@ Strategy guidance: ``exhaustive`` (default) is vectorized end-to-end
 and wins whenever block skipping cannot engage. ``wand`` wins when a
 high-idf anchor fills the top-k inside every segment AND is sparser
 than one posting per hot block — MEASURED in this sandbox (BENCH
-'wand_1m': 1M docs, hot df=1M, anchor df=500, 32-query batch, k=10):
-wand 20.9s vs exhaustive 67.3s, a 3.2x win, rank-identical. Below
-that regime (100k 'wand_regime', where any top-k-filling anchor
-lands in every hot block; or anchors too sparse to fill a segment's
-top-k, which degenerates WAND to a full Python DAAT) exhaustive wins
-and ``auto`` — the per-call rule from driver-side df stats
-(_auto_strategy, thresholds calibrated against both measurements) —
-routes there. Both strategies are exact (property-tested
-identical).
+'wand_1m': 1M docs, hot df=1M, anchor df=500, 32-query batch, k=10,
+STEADY-STATE min-of-passes, r4): wand 21.4-23.3s vs exhaustive
+57.2-60.3s across three interleaved reps — a repeatable 2.6x,
+rank-identical. The win grows with batch size (exhaustive pushes
+|queries| x |hot postings| rows through the agg; WAND's posting
+shuffle is bounded by query-groups): at 16 queries the same setup is
+a statistical tie (11.2 vs 12.9). Below the engagement regime (100k
+'wand_regime', where any top-k-filling anchor lands in every hot
+block; or anchors too sparse to fill a segment's top-k, which
+degenerates WAND to a full Python DAAT — measured 34s vs 5.3s at
+200k docs) exhaustive wins and ``auto`` — the PER-QUERY rule from
+driver-side df stats (_wand_vote_qids, thresholds calibrated against
+both measurements; a mixed batch runs each half on its own engine,
+measured: bench 'wand_mixed' auto 9.8s vs 23.4s all-exhaustive /
+21.4s all-wand) — routes there. Both strategies are exact
+(property-tested identical).
 
 Pruning uses a conservative epsilon (skip only when the bound is
 below threshold - 1e-12) so float drift can never drop a true top-k
@@ -304,8 +311,9 @@ def _wand_vote_qids(
     which WAND is predicted to win; search_sharded(strategy='auto')
     routes each query down its own path — a mixed batch (half
     anchored, half flat) no longer drags its minority half through
-    the wrong engine, which at 1M docs is a measured 3.5x penalty
-    either direction.
+    the wrong engine. Measured (bench 'wand_mixed', 1M docs, 8+8
+    queries, min-of-2): auto 9.8s vs 23.4s all-exhaustive / 21.4s
+    all-wand — split routing beats both single strategies >2x.
 
     WAND beats the vectorized exhaustive scan only when block
     skipping mathematically ENGAGES: a high-idf ANCHOR term must
@@ -318,12 +326,14 @@ def _wand_vote_qids(
     contains an anchor doc and WAND decodes everything exhaustive
     does, plus DAAT overhead.
 
-    Calibrated against r3 measurements (BENCH 'wand_1m' case,
-    5-token docs, 3 hot terms df=N + anchor, 32-query batch, k=10,
-    S=16 segments, block 128):
+    Calibrated against measurement (BENCH 'wand_1m' case, 5-token
+    docs, 3 hot terms df=N + anchor, 32-query batch, k=10, S=16
+    segments, block 128; steady-state min-of-passes r4):
 
-    * 1M docs, anchor df 500 (= 3.1 x k x S): wand 20.9s vs
-      exhaustive 67.3s — a 3.2x win; the rule routes to wand.
+    * 1M docs, anchor df 500 (= 3.1 x k x S): wand 21.4-23.3s vs
+      exhaustive 57.2-60.3s — a repeatable 2.6x win; the rule routes
+      to wand. (At 16 queries the same regime is a tie — the vote
+      still costs nothing there, 11.2 vs 12.9.)
     * 200k docs, anchor df 100 (< k x S = 160): per-segment fill
       FAILS (~6 anchor postings/segment), wand degenerates (34s vs
       5.3s) — exactly the (b') regime the per-segment fill term now
@@ -615,7 +625,8 @@ def search_sharded(
         # PER-QUERY routing: each query runs on the engine its own
         # df profile votes for; a mixed batch unions two disjoint
         # result sets instead of dragging its minority half through
-        # the wrong (measured 3.5x slower) path.
+        # the wrong path (bench wand_mixed: auto 9.8s beats 23.4s
+        # all-exhaustive and 21.4s all-wand).
         wand_qids = _wand_vote_qids(
             qt_data,
             {r["term"]: int(r["df"]) for r in df_rows},

@@ -532,6 +532,42 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-TRAINED coarse quantizer
+    (ivf_train_centroids: distributed Lloyd iterations, one
+    map-side-combined aggregation per round, seeded from the
+    deterministic medoids — the production quantizer the plain
+    ann_ivf entry stubs with seeds).
+
+    NO oracle_sql on purpose: the trainer is an ITERATIVE Spark
+    algorithm whose centroid floats depend on distributed summation
+    order — single-pass SQL cannot reproduce them bit-for-bit, so the
+    driver records the weaker rows-only check here. Bit-exact parity
+    of the IVF structure itself (assignment, probing, rerank) is
+    covered by ann_ivf; the trainer's recall/balance dominance over
+    the seeds is pinned in test_ivf_trained_centroids_beat_seeds.
+    Deterministic: same input -> same centroids -> same rows."""
+    from bm25_chroma_spark.operators.knn import ivf_train_centroids, knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_train_centroids(emb, IVF_CELLS, n_iters=2)
+    res = knn_ivf(
+        emb,
+        _knn_query_vecs(spark, sf_dir),
+        k=KNN_K,
+        n_cells=IVF_CELLS,
+        nprobe=IVF_NPROBE,
+        centroids=centroids,
+        score_round=ROUND,
+    )
+    return res.select(
+        "query_id",
+        "vec_id",
+        (F.col("dist") + F.lit(0.0)).alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full hybrid: BM25 leg + exact-KNN leg fused with RRF (ratio
     0.5, k=60, candidate widening x2 like the reference facade)."""
@@ -1199,6 +1235,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "rrf_hybrid": q_rrf_hybrid,
         # relational showcase
         "pricing_summary": q_pricing_summary,

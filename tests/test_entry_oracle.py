@@ -57,7 +57,17 @@ def test_query_matches_oracle(spark, duck, name):
     qfn = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql().get(name)
     if sql is None:
-        pytest.skip(f"{name}: rows-only check (no oracle)")
+        # driver's weaker rows-only check for non-SQL-expressible ops:
+        # the query must still RUN, return rows with a stable schema,
+        # and be deterministic across invocations
+        a = qfn(spark, SF_DIR)
+        rows_a = _canon([tuple(r) for r in a.collect()], a.columns)
+        b = qfn(spark, SF_DIR)
+        rows_b = _canon([tuple(r) for r in b.collect()], b.columns)
+        assert a.columns == b.columns
+        assert rows_a == rows_b, f"{name}: nondeterministic"
+        assert len(rows_a) > 0, f"{name}: empty result"
+        return
 
     sdf = qfn(spark, SF_DIR)
     srows = sdf.collect()
