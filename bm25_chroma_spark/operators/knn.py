@@ -17,6 +17,7 @@ import math
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -339,26 +340,77 @@ def ivf_train_centroids(
     return centroids
 
 
+# Above this many (n_cells * dim) literals the expression-tree
+# quantizer is swapped for the Arrow-vectorized one: a sqrt(N)-sized
+# quantizer (e.g. 1000 cells x 64 dims at 1M vectors) would otherwise
+# inline 64k literals into a single Catalyst expression — planning
+# blows up long before the data does.
+_IVF_EXPR_MAX_LITERALS = 4096
+
+
+def _use_expr_quantizer(centroids: List[List[float]], method: str) -> bool:
+    if method == "expr":
+        return True
+    if method == "pandas":
+        return False
+    if method != "auto":
+        raise ValueError(f"unknown quantizer method {method!r}")
+    return len(centroids) * len(centroids[0]) <= _IVF_EXPR_MAX_LITERALS
+
+
 def ivf_assign_cells(
-    e: DataFrame, centroids: List[List[float]], vec_col: str = "vec"
+    e: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "vec",
+    method: str = "auto",
 ) -> DataFrame:
     """Add a ``cell`` column: argmin over centroids of cosine distance,
-    ties to the smallest cell id. Pure column expressions — the
-    (dist, cid) struct array's array_min is the lexicographic minimum,
-    i.e. (dist asc, cid asc) — so the one assignment pass is narrow,
-    map-side, and whole-stage-codegen'd. At 100 TB you run this once
-    at ingest and ``partitionBy("cell")`` the table: query-time
-    probing then becomes partition PRUNING, not even a filter scan."""
-    cells = F.array(
-        *[
-            F.struct(
-                _cos_dist(F.col(vec_col), _lit_vec(c)).alias("dist"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    ties to the smallest cell id. At 100 TB you run this once at
+    ingest and ``partitionBy("cell")`` the table: query-time probing
+    then becomes partition PRUNING, not even a filter scan.
+
+    Two physical forms, same semantics:
+
+    * ``expr`` — pure column expressions: the (dist, cid) struct
+      array's array_min is the lexicographic minimum, i.e. (dist asc,
+      cid asc), narrow, map-side, whole-stage-codegen'd. Bit-exact
+      left-fold arithmetic — this is the form the SQL oracle mirrors.
+    * ``pandas`` — Arrow-vectorized: one matmul per batch against the
+      broadcast (normalized) centroid matrix, np.argmax ties to the
+      smallest cid. The ONLY divergence from expr is last-ulp float
+      association (BLAS vs left-fold) — irrelevant for ANN recall,
+      which is why the oracle entry pins the expr form at small
+      n_cells and the at-scale path uses this one.
+    * ``auto`` — expr while n_cells*dim <= 4096 literals, else pandas.
+    """
+    if _use_expr_quantizer(centroids, method):
+        cells = F.array(
+            *[
+                F.struct(
+                    _cos_dist(F.col(vec_col), _lit_vec(c)).alias("dist"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return e.withColumn("cell", F.array_min(cells).getField("cid"))
+
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(
+        np.linalg.norm(C, axis=1, keepdims=True), 1e-300
     )
-    return e.withColumn("cell", F.array_min(cells).getField("cid"))
+
+    @F.pandas_udf(IntegerType())
+    def assign(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy())
+        Mn = M / np.maximum(
+            np.linalg.norm(M, axis=1, keepdims=True), 1e-300
+        )
+        return pd.Series(np.argmax(Mn @ Cn.T, axis=1).astype("int32"))
+
+    return e.withColumn("cell", assign(F.col(vec_col)))
 
 
 def knn_ivf(
@@ -371,6 +423,7 @@ def knn_ivf(
     nprobe: int = 3,
     centroids: Optional[List[List[float]]] = None,
     score_round: Optional[int] = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Approximate KNN, IVF style (the classic inverted-file ANN):
     a coarse quantizer assigns every corpus vector to its nearest
@@ -382,11 +435,15 @@ def knn_ivf(
     -> (query_id, vec_id, dist, sim, rank), same contract as
     knn_bruteforce/knn_lsh (round-before-rank under ``score_round``).
 
-    Query-side probe selection runs through the SAME column
-    expressions as the corpus assignment (one tiny Spark job over the
-    query vectors) so the left-fold float arithmetic — and therefore
-    every tie — matches the corpus side and the SQL oracle
-    bit-for-bit; a numpy argmin would disagree in the last ulp.
+    ``method`` picks the quantizer form (see ivf_assign_cells). On
+    the ``expr`` path, query-side probe selection runs through the
+    SAME column expressions as the corpus assignment (one tiny Spark
+    job over the query vectors) so the left-fold float arithmetic —
+    and therefore every tie — matches the corpus side and the SQL
+    oracle bit-for-bit. On the ``pandas`` (large-quantizer) path the
+    probes are computed DRIVER-SIDE in numpy — query vectors are
+    already driver-side lists, so a sqrt(N)-cell quantizer costs no
+    Spark job and no 64k-literal plan at all.
     """
     spark = embeddings.sparkSession
     if centroids is None:
@@ -395,26 +452,50 @@ def knn_ivf(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    e_cell = ivf_assign_cells(e, centroids)
+    e_cell = ivf_assign_cells(e, centroids, method=method)
 
     q = _queries_df(spark, query_vecs)
-    qd = q.select(
-        "query_id",
-        "qvec",
-        F.posexplode(
-            F.array(
-                *[_cos_dist(F.col("qvec"), _lit_vec(c)) for c in centroids]
-            )
-        ).alias("cid", "cdist"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.asc("cdist"), F.asc("cid")
-    )
-    probes = (
-        qd.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", F.col("cid").alias("cell"))
-    )
+    if _use_expr_quantizer(centroids, method):
+        qd = q.select(
+            "query_id",
+            "qvec",
+            F.posexplode(
+                F.array(
+                    *[
+                        _cos_dist(F.col("qvec"), _lit_vec(c))
+                        for c in centroids
+                    ]
+                )
+            ).alias("cid", "cdist"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.asc("cdist"), F.asc("cid")
+        )
+        probes = (
+            qd.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "qvec", F.col("cid").alias("cell"))
+        )
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+        Cn = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-300
+        )
+        Q = np.asarray(
+            [[float(x) for x in v] for v in query_vecs], dtype=np.float64
+        )
+        Qn = Q / np.maximum(
+            np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
+        )
+        order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")
+        probe_rows = [
+            (qid, int(cell))
+            for qid in range(len(query_vecs))
+            for cell in order[qid, :nprobe]
+        ]
+        probes = spark.createDataFrame(
+            probe_rows, "query_id long, cell int"
+        ).join(q, "query_id")
     cand = e_cell.join(F.broadcast(probes), "cell").select(
         "query_id", "vec_id", "vec", "qvec"
     )

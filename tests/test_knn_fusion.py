@@ -223,6 +223,53 @@ def test_ivf_trained_centroids_beat_seeds(spark):
     assert trained == again
 
 
+def test_ivf_pandas_quantizer_matches_expr(spark, emb_df, emb_np):
+    """The Arrow-vectorized quantizer (the large-n_cells form that
+    avoids a 64k-literal Catalyst expression) must assign the same
+    cells and return the same top-k as the expression form on the
+    fixture (ulp-tie-free), and the auto switch must route a
+    sqrt(N)-sized quantizer to it without blowing up the plan."""
+    from pyspark.sql import functions as F
+
+    from bm25_chroma_spark.operators.knn import (
+        _use_expr_quantizer,
+        ivf_assign_cells,
+        ivf_seed_centroids,
+        knn_ivf,
+    )
+
+    ids, mat = emb_np
+    cents = ivf_seed_centroids(emb_df, 8)
+    e = emb_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_cells(e, cents, method="expr").collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_cells(e, cents, method="pandas").collect()
+    }
+    assert a == b
+
+    qvecs = [list(map(float, mat[3])), list(map(float, mat[77]))]
+    ex = knn_ivf(emb_df, qvecs, k=10, n_cells=8, nprobe=3,
+                 method="expr").collect()
+    pa = knn_ivf(emb_df, qvecs, k=10, n_cells=8, nprobe=3,
+                 method="pandas").collect()
+    assert sorted(map(tuple, ex)) == sorted(map(tuple, pa))
+
+    # auto: a 100-cell x 64-dim quantizer (6400 literals) routes to
+    # pandas and still runs end-to-end
+    big = [list(map(float, mat[i])) for i in range(100)]
+    assert not _use_expr_quantizer(big, "auto")
+    rows = knn_ivf(
+        emb_df, qvecs, k=5, n_cells=100, nprobe=10, centroids=big
+    ).collect()
+    assert len(rows) == 10
+
+
 def test_facade_ann_leg(spark, tmp_path):
     """With ann_threshold forced to 1 doc, the retriever's vector leg
     routes through IVF (trained, cached quantizer) instead of exact
