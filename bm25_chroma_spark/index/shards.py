@@ -630,6 +630,10 @@ class ShardedIndex:
         )
         self.config = BM25Config(**stats["config"])
         self._scan_cache: dict = {}
+        # per-term global df cache used by search_sharded's guard /
+        # auto routing; DML moves dfs, so it lives and dies with the
+        # scan cache
+        self._df_cache: dict = {}
         return self
 
     def _scan(self, key, make) -> DataFrame:

@@ -473,7 +473,26 @@ def search_sharded(
     dfs_subtree = shards.groupBy("term").agg(F.sum("df").alias("df"))
     df_rows = None
     if guard_caps or strategy == "auto":
-        df_rows = dfs_subtree.collect()
+        # per-index df cache (cleared on refresh): the driver-side df
+        # agg is a full bucket-pruned scan job; interactive workloads
+        # repeat the same hot terms every query, so pay it once per
+        # (index state, term) instead of once per call. Unknown terms
+        # are cached as 0 so they don't force a job either.
+        cache = getattr(index, "_df_cache", None)
+        if cache is None:
+            cache = index._df_cache = {}
+        if all(t in cache for t in terms):
+            df_rows = [
+                {"term": t, "df": cache[t]} for t in terms if cache[t] > 0
+            ]
+        else:
+            df_rows = dfs_subtree.collect()
+            seen = {r["term"] for r in df_rows}
+            for r in df_rows:
+                cache[r["term"]] = int(r["df"])
+            for t in terms:
+                if t not in seen:
+                    cache[t] = 0
         if guard_caps:
             limit = min(guard_caps)
             hot = sorted(

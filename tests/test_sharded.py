@@ -371,6 +371,21 @@ def test_auto_strategy_results_identical(spark, shard_dir, queries_df):
     assert {tuple(r) for r in a} == {tuple(r) for r in e}
 
 
+def test_df_cache_reused_and_invalidated(spark, shard_dir, queries_df):
+    """The driver-side df agg behind auto routing is cached per
+    (index state, term): a repeat query must not change results, and
+    refresh() (the DML hook) must drop the cache."""
+    idx = ShardedIndex(spark, shard_dir)
+    a = search_sharded(idx, queries_df, top_k=10, strategy="auto").collect()
+    assert idx._df_cache  # populated by the first call
+    snapshot = dict(idx._df_cache)
+    b = search_sharded(idx, queries_df, top_k=10, strategy="auto").collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    assert idx._df_cache == snapshot  # no growth on repeat
+    idx.refresh()
+    assert idx._df_cache == {}
+
+
 def test_wand_vote_qids_is_per_query():
     """A mixed batch votes per QUERY: the anchored query goes to wand,
     the flat one to exhaustive — not one majority strategy for both."""
