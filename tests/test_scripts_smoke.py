@@ -69,3 +69,49 @@ def test_build_then_query_defaults_hot_term(spark, tmp_path, monkeypatch):
         .collect()[0]["df"]
     )
     assert df_hot == 1500
+
+
+def test_dedup_corpus_pipeline(spark, tmp_path, monkeypatch):
+    """scripts/dedup_corpus.py end-to-end: exact dups collapse, LSH +
+    Jaccard near-dups cluster to one survivor, distinct docs stay, and
+    the JSON report is consistent with the written output."""
+    import json
+
+    import scripts.dedup_corpus as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+    )
+    rows = [
+        (1, base + "alpha beta gamma delta"),
+        (2, base + "alpha beta gamma delta"),        # exact dup of 1
+        (3, base + "alpha beta gamma epsilon"),      # near-dup of 1
+        (4, "completely different content about spark joins"),
+        (5, "another unrelated document on varint posting lists"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        src
+    )
+    out = str(tmp_path / "deduped.parquet")
+    rpt = str(tmp_path / "report.json")
+
+    monkeypatch.setattr(
+        __import__("sys"),
+        "argv",
+        [
+            "dedup_corpus.py", "--input", src, "--output", out,
+            "--report", rpt, "--method", "minhash",
+            "--threshold", "0.6",
+        ],
+    )
+    dd.main()
+
+    report = json.loads(open(rpt).read())
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 4, 5}  # 2 exact-dropped, 3 clustered into 1
+    assert report["input_docs"] == 5
+    assert report["after_exact"] == 4
+    assert report["survivors"] == 3
+    assert report["removed_exact"] == 1
+    assert report["removed_near"] == 1
