@@ -413,6 +413,88 @@ def ivf_assign_cells(
     return e.withColumn("cell", assign(F.col(vec_col)))
 
 
+def ivf_write_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> None:
+    """Materialize the inverted file: assign every vector to its cell
+    (one narrow pass, see ivf_assign_cells) and write the table
+    partitioned by cell — ``path/cell=K/``. This is the ingest-time
+    half of IVF at 100 TB: after it, probing is directory-level
+    partition PRUNING (the scan never lists, opens, or reads a
+    non-probed cell), not even a filter over a full scan."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    ivf_assign_cells(e, centroids, method=method).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def knn_ivf_partitioned(
+    spark,
+    path: str,
+    query_vecs: Sequence[Sequence[float]],
+    centroids: List[List[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    score_round: Optional[int] = None,
+) -> DataFrame:
+    """Query the materialized inverted file written by
+    ivf_write_partitioned. Probe cells are chosen DRIVER-SIDE in
+    numpy (query vectors are already local), the scan filters
+    ``cell IN (union of probed cells)`` — which Spark turns into
+    partition pruning over the ``cell=K`` directories (PartitionFilters
+    in the plan; non-probed cells are never touched) — and the
+    per-query cell restriction + exact cosine rerank run on the pruned
+    scan. Same output contract as knn_ivf.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    Q = np.asarray(
+        [[float(x) for x in v] for v in query_vecs], dtype=np.float64
+    )
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")
+    probe_rows = [
+        (qid, int(cell))
+        for qid in range(len(query_vecs))
+        for cell in order[qid, :nprobe]
+    ]
+    all_cells = sorted({c for _, c in probe_rows})
+
+    q = _queries_df(spark, query_vecs)
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int"
+    ).join(q, "query_id")
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    cand = scan.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", "vec", "qvec"
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _cos_dist(F.col("vec"), F.col("qvec")).alias("dist"),
+    )
+    if score_round is not None:
+        scored = scored.withColumn("dist", F.round("dist", score_round))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("sim", F.lit(1.0) / (F.lit(1.0) + F.col("dist")))
+        .select("query_id", "vec_id", "dist", "sim", "rank")
+    )
+    if score_round is not None:
+        out = out.withColumn("sim", F.round("sim", score_round))
+    return out
+
+
 def knn_ivf(
     embeddings: DataFrame,
     query_vecs: Sequence[Sequence[float]],

@@ -113,6 +113,29 @@ def main() -> None:
         explain_str(knn_lsh(emb, qv, k=10, n_tables=4)),
     ))
 
+    from bm25_chroma_spark.operators.knn import (
+        ivf_seed_centroids,
+        ivf_write_partitioned,
+        knn_ivf_partitioned,
+    )
+
+    cents = ivf_seed_centroids(emb, 8)
+    ivf_dir = tempfile.mkdtemp() + "/ivf_store"
+    ivf_write_partitioned(emb, ivf_dir, cents)
+    sections.append((
+        "IVF materialized inverted file: probing IS partition pruning "
+        "— the scan's PartitionFilters carry the probed cells, so "
+        "non-probed cell=K directories are never listed or read; "
+        "probe selection happens driver-side (query vectors are "
+        "local), broadcast probes restrict per query, exact cosine "
+        "rerank on the pruned scan only",
+        explain_str(
+            knn_ivf_partitioned(
+                spark, ivf_dir, qv, cents, k=10, nprobe=3
+            )
+        ),
+    ))
+
     from bm25_chroma_spark.operators.dedup import embedding_near_dups
 
     sections.append((

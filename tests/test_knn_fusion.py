@@ -223,6 +223,52 @@ def test_ivf_trained_centroids_beat_seeds(spark):
     assert trained == again
 
 
+def test_ivf_partitioned_store_prunes_and_matches(
+    spark, emb_df, emb_np, tmp_path
+):
+    """The materialized inverted file (partitionBy cell) returns the
+    same top-k as the in-memory IVF, and the scan plan carries the
+    probed cells as PartitionFilters — directory-level pruning, the
+    at-scale claim made in the docstrings."""
+    import io
+    from contextlib import redirect_stdout
+    from pathlib import Path
+
+    from bm25_chroma_spark.operators.knn import (
+        ivf_seed_centroids,
+        ivf_write_partitioned,
+        knn_ivf,
+        knn_ivf_partitioned,
+    )
+
+    ids, mat = emb_np
+    cents = ivf_seed_centroids(emb_df, 8)
+    path = str(tmp_path / "ivf_store")
+    ivf_write_partitioned(emb_df, path, cents)
+    cells_on_disk = {
+        p.name for p in Path(path).iterdir() if p.name.startswith("cell=")
+    }
+    assert cells_on_disk  # hive-style cell directories
+
+    qvecs = [list(map(float, mat[3])), list(map(float, mat[77]))]
+    part_df = knn_ivf_partitioned(
+        spark, path, qvecs, cents, k=10, nprobe=3
+    )
+    part = part_df.collect()
+    mem = knn_ivf(
+        emb_df, qvecs, k=10, n_cells=8, nprobe=3, centroids=cents,
+        method="pandas",
+    ).collect()
+    assert sorted(map(tuple, part)) == sorted(map(tuple, mem))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        part_df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan[:2000]
+
+
 def test_ivf_pandas_quantizer_matches_expr(spark, emb_df, emb_np):
     """The Arrow-vectorized quantizer (the large-n_cells form that
     avoids a 64k-literal Catalyst expression) must assign the same
