@@ -4,10 +4,44 @@ from bm25_chroma_spark.operators.index_build import (
     build_logical_index,
 )
 from bm25_chroma_spark.operators.scoring import bm25_score_queries
+from bm25_chroma_spark.operators.knn import (
+    knn_bruteforce,
+    knn_lsh,
+    knn_ivf,
+    knn_ivf_partitioned,
+    ivf_seed_centroids,
+    ivf_train_centroids,
+    ivf_write_partitioned,
+)
+from bm25_chroma_spark.operators.dedup import (
+    dedup_exact,
+    dup_clusters,
+    embedding_near_dups,
+    keep_canonical,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from bm25_chroma_spark.operators.fusion import rrf_fuse
 
 __all__ = [
     "LogicalIndex",
     "tokenize_docs",
     "build_logical_index",
     "bm25_score_queries",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_partitioned",
+    "ivf_seed_centroids",
+    "ivf_train_centroids",
+    "ivf_write_partitioned",
+    "dedup_exact",
+    "dup_clusters",
+    "embedding_near_dups",
+    "keep_canonical",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_near_dups",
+    "rrf_fuse",
 ]
