@@ -75,6 +75,36 @@ def test_knn_l2(spark, emb_df, emb_np):
     ]
 
 
+def test_knn_lsh_plan_scans_vectors_twice(spark, emb_df, emb_np):
+    """Plan-shape regression guard for the id-only candidate design:
+    the embeddings table appears in the physical plan exactly TWICE
+    (one posexplode'd signature pass + one rerank vector join), not
+    once per hash table, and the candidate-dedup exchange carries only
+    (query_id, vec_id) — no vector columns ride the shuffle."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    _, mat = emb_np
+    df = knn_lsh(emb_df, [mat[0].tolist()], k=5, n_tables=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    scans = [
+        ln for ln in plan.splitlines() if "Location: InMemoryFileIndex" in ln
+    ]
+    assert len(scans) == 2, plan[:1500]
+    # the distinct's exchange partitions on the bare id pair
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(query_id" in ln and "vec_id" in ln
+    ]
+    assert ex, plan[:1500]
+    assert not any("vec#" in ln or "qvec#" in ln for ln in ex), ex
+
+
 def test_lsh_recall(spark, emb_df, emb_np):
     ids, mat = emb_np
     queries = [mat[i].tolist() for i in (1, 50, 200)]
