@@ -180,23 +180,29 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         )
         timings["wand_1m_build"] = time.time() - t0
         sharded4 = ShardedIndex(spark, out4)
-        # min of two timed passes per strategy: single passes on this
-        # burstable host swing up to 3x (measured r4: a cold wand pass
-        # at 34.8s vs 12.6-15.0s across five repeats), which reads as
-        # a phantom regression round-over-round
-        def _timed_min(idx_, queries_, strat_):
-            best = float("inf")
-            for _ in range(2):
-                t = time.time()
-                search_sharded(
-                    idx_, queries_, top_k=10, strategy=strat_
-                ).collect()
-                best = min(best, time.time() - t)
-            return best
+        # STEADY-STATE timing: an untimed warm-up pass on a 4-query
+        # subset (spawns the Python workers, JITs the codegen, touches
+        # the shard files) and then ONE timed full pass. A raw cold
+        # first pass swings up to 3x on this burstable host (measured
+        # r4: 34.8s vs 12.6-15.0s across five repeats) and reads as a
+        # phantom regression round-over-round; warming a subset buys
+        # the same steady state as min-of-2 full passes at a fraction
+        # of the bench budget.
+        def _timed_steady(idx_, queries_, strat_):
+            search_sharded(
+                idx_, queries_[:4], top_k=10, strategy=strat_
+            ).collect()
+            t = time.time()
+            search_sharded(
+                idx_, queries_, top_k=10, strategy=strat_
+            ).collect()
+            return time.time() - t
 
         wq1m = [(i, f"hota hotb hotc anchor{7 * i + 3}") for i in range(32)]
         for strat in ("exhaustive", "wand", "auto"):
-            timings[f"wand_1m_{strat}"] = _timed_min(sharded4, wq1m, strat)
+            timings[f"wand_1m_{strat}"] = _timed_steady(
+                sharded4, wq1m, strat
+            )
 
         # 7b. MIXED batch (r4): 8 anchored queries (vote wand) + 8
         # flat hot-only queries (vote exhaustive — WAND degenerates to
@@ -209,7 +215,7 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
             (i, f"hota hotb hotc anchor{7 * i + 3}") for i in range(8)
         ] + [(8 + i, "hota hotb hotc") for i in range(8)]
         for strat in ("exhaustive", "wand", "auto"):
-            timings[f"wand_mixed_{strat}"] = _timed_min(
+            timings[f"wand_mixed_{strat}"] = _timed_steady(
                 sharded4, wq_mix, strat
             )
         shutil.rmtree(out4, ignore_errors=True)
