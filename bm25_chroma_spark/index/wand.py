@@ -20,8 +20,9 @@ and wins whenever block skipping cannot engage. ``wand`` wins when a
 high-idf anchor fills the top-k inside every segment AND is sparser
 than one posting per hot block — MEASURED in this sandbox (BENCH
 'wand_1m': 1M docs, hot df=1M, anchor df=500, 32-query batch, k=10,
-STEADY-STATE min-of-passes, r4): wand 21.4-23.3s vs exhaustive
-57.2-60.3s across three interleaved reps — a repeatable 2.6x,
+STEADY-STATE warmed passes, r4): wand 21-26s vs exhaustive
+57-66s across solo runs and three interleaved reps — a repeatable
+2.3-2.7x,
 rank-identical. The win grows with batch size (exhaustive pushes
 |queries| x |hot postings| rows through the agg; WAND's posting
 shuffle is bounded by query-groups): at 16 queries the same setup is
@@ -312,8 +313,9 @@ def _wand_vote_qids(
     routes each query down its own path — a mixed batch (half
     anchored, half flat) no longer drags its minority half through
     the wrong engine. Measured (bench 'wand_mixed', 1M docs, 8+8
-    queries, min-of-2): auto 9.8s vs 23.4s all-exhaustive / 21.4s
-    all-wand — split routing beats both single strategies >2x.
+    queries, steady-state): auto beats both single strategies in
+    every measured run (e.g. 11.0s vs 17.0 all-exhaustive / 28.8
+    all-wand).
 
     WAND beats the vectorized exhaustive scan only when block
     skipping mathematically ENGAGES: a high-idf ANCHOR term must
@@ -328,12 +330,12 @@ def _wand_vote_qids(
 
     Calibrated against measurement (BENCH 'wand_1m' case, 5-token
     docs, 3 hot terms df=N + anchor, 32-query batch, k=10, S=16
-    segments, block 128; steady-state min-of-passes r4):
+    segments, block 128; steady-state warmed passes r4):
 
-    * 1M docs, anchor df 500 (= 3.1 x k x S): wand 21.4-23.3s vs
-      exhaustive 57.2-60.3s — a repeatable 2.6x win; the rule routes
-      to wand. (At 16 queries the same regime is a tie — the vote
-      still costs nothing there, 11.2 vs 12.9.)
+    * 1M docs, anchor df 500 (= 3.1 x k x S): wand 21-26s vs
+      exhaustive 57-66s across solo runs — a repeatable 2.3-2.7x
+      win; the rule routes to wand. (At 16 queries the same regime
+      is a tie — the vote still costs nothing there, 11.2 vs 12.9.)
     * 200k docs, anchor df 100 (< k x S = 160): per-segment fill
       FAILS (~6 anchor postings/segment), wand degenerates (34s vs
       5.3s) — exactly the (b') regime the per-segment fill term now
