@@ -96,6 +96,30 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     bm25_score_queries(allq, idx, top_k=10).collect()
     timings["bm25_batch_logical"] = time.time() - t0
 
+    # 4b. end-user facade: the ChromaDB-compatible hybrid query()
+    # (BM25 leg + vector leg + RRF, one Spark job set per call for
+    # any number of queries) — the reference's flagship user surface,
+    # previously unmeasured. Ingest covers hashed-BoW embedding +
+    # corpus/vector stores + sharded index build over 1k docs; the
+    # query timing is a warmed 4-query batched call.
+    from bm25_chroma_spark.plans.retriever import SparkHybridRetriever
+
+    fac_dir = tempfile.mkdtemp(prefix=f"bench_facade_{cpus}_")
+    sample = docs.limit(1000).collect()
+    t0 = time.time()
+    retr = SparkHybridRetriever(spark, fac_dir)
+    retr.add_documents_batch(
+        [r["text"] for r in sample],
+        [f"d{r['doc_id']}" for r in sample],
+    )
+    timings["facade_ingest_1k"] = time.time() - t0
+    fq = [qtext for _, qtext in FLAGSHIP_QUERIES[:4]]
+    retr.query(fq, n_results=10)  # warm
+    t0 = time.time()
+    retr.query(fq, n_results=10)
+    timings["facade_query_hybrid"] = time.time() - t0
+    shutil.rmtree(fac_dir, ignore_errors=True)
+
     # 5. synthetic corpus: generation timed separately from the build
     # (production builds read an existing table; r1's synth_build_20k
     # mixed the two — synth_total_20k keeps that definition for
