@@ -404,6 +404,43 @@ def test_wand_vote_qids_is_per_query():
     assert _wand_vote_qids(qt, dfm, 1e8, 10, BS) == {1}
 
 
+def test_auto_split_routing_fuzz(spark, shard_dir, queries_df, monkeypatch):
+    """ANY per-query vote split must return exactly the exhaustive
+    result set — fuzz random splits (including empty and full wand
+    sides) through the union plumbing."""
+    import random
+
+    import bm25_chroma_spark.index.wand as wand_mod
+
+    idx = ShardedIndex(spark, shard_dir)
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in search_sharded(
+            idx, queries_df, top_k=8, strategy="exhaustive"
+        ).collect()
+    }
+    qids = sorted(
+        r["query_id"] for r in queries_df.select("query_id").collect()
+    )
+    rng = random.Random(41)
+    splits = [set(), set(qids)] + [
+        {q for q in qids if rng.random() < rng.choice((0.25, 0.5, 0.75))}
+        for _ in range(4)
+    ]
+    for forced in splits:
+        monkeypatch.setattr(
+            wand_mod, "_wand_vote_qids", lambda *a, _f=forced, **k: _f
+        )
+        got = {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+            for r in search_sharded(
+                idx, queries_df, top_k=8, strategy="auto"
+            ).collect()
+        }
+        assert got == want, f"split {sorted(forced)}"
+        monkeypatch.undo()
+
+
 def test_auto_mixed_batch_union_matches_exhaustive(
     spark, shard_dir, queries_df, monkeypatch
 ):
