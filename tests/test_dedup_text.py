@@ -407,3 +407,43 @@ def test_simhash_degenerate_bucket_cap(spark):
     }
     assert len({clusters[i] for i in range(n_empty)}) == 1
     assert clusters[10001] == clusters[10002] != clusters[10003]
+
+
+def test_simhash_cap_lossless_for_identical_mass(spark):
+    """Property: when every oversized bucket is made of IDENTICAL
+    texts (the real-world degenerate case — empty docs, boilerplate),
+    the capped run clusters exactly like the uncapped run: star pairs
+    preserve the connected components. Randomized corpora mixing a
+    heavy identical mass with distinct docs."""
+    import random
+
+    from bm25_chroma_spark.operators.dedup import (
+        dup_clusters,
+        simhash_near_dups,
+    )
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "spark", "join",
+             "index", "shuffle", "posting", "varint"]
+    for trial in range(3):
+        rows = [(i, "") for i in range(150)]  # identical mass, sig=0
+        boiler = " ".join(rng.choices(vocab, k=8))
+        rows += [(200 + i, boiler) for i in range(40)]  # second mass
+        rows += [
+            (400 + i, " ".join(rng.choices(vocab, k=12)))
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ids = df.select("doc_id")
+
+        def comps(pairs):
+            return {
+                r["id"]: r["cluster_id"]
+                for r in dup_clusters(
+                    pairs.select("id_a", "id_b"), ids=ids
+                ).collect()
+            }
+
+        capped = comps(simhash_near_dups(df, max_bucket=30))
+        uncapped = comps(simhash_near_dups(df))
+        assert capped == uncapped, trial
