@@ -115,3 +115,33 @@ def test_dedup_corpus_pipeline(spark, tmp_path, monkeypatch):
     assert report["survivors"] == 3
     assert report["removed_exact"] == 1
     assert report["removed_near"] == 1
+
+
+def test_ann_index_build_then_query(spark, tmp_path, monkeypatch, capsys):
+    """scripts/ann_index.py: build trains + materializes the
+    cell-partitioned store with persisted centroids; query returns the
+    queried id itself as the top hit (self-similarity 1.0)."""
+    import json
+    import sys
+
+    import scripts.ann_index as ai
+
+    store = str(tmp_path / "ivf")
+    monkeypatch.setattr(sys, "argv", [
+        "ann_index.py", "build",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", store, "--cells", "8", "--train-iters", "2",
+    ])
+    ai.main()
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["vectors"] == 500 and built["cells"] == 8
+    assert (tmp_path / "ivf" / "centroids.json").exists()
+
+    monkeypatch.setattr(sys, "argv", [
+        "ann_index.py", "query", "--store", store,
+        "--vec-id", "3", "--k", "5", "--nprobe", "4",
+    ])
+    ai.main()
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    top = res["results"]["0"][0]
+    assert top["vec_id"] == 3 and top["dist"] < 1e-9
