@@ -568,6 +568,54 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_STORE_CACHE: Dict[str, str] = {}
+
+
+def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over the MATERIALIZED inverted file: the embeddings table
+    is written once partitioned by cell (ivf_write_partitioned,
+    cached per sf_dir for the session) and the query probes it with
+    partition pruning (knn_ivf_partitioned — PartitionFilters carry
+    the probed cells; see PLANS.md).
+
+    Rows-only entry (no oracle_sql): probe selection runs driver-side
+    in numpy, whose float association differs from SQL in the last
+    ulp; bit-exact parity of the same IVF structure is already pinned
+    by ann_ivf, and store-vs-in-memory equality by
+    test_ivf_partitioned_store_prunes_and_matches. Deterministic:
+    seeded quantizer, stable probe order, round-before-rank."""
+    import tempfile
+
+    from bm25_chroma_spark.operators.knn import (
+        ivf_seed_centroids,
+        ivf_write_partitioned,
+        knn_ivf_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_seed_centroids(emb, IVF_CELLS)
+    store = _IVF_STORE_CACHE.get(sf_dir)
+    if store is None:
+        store = tempfile.mkdtemp(prefix="entry_ivf_") + "/store"
+        ivf_write_partitioned(emb, store, centroids)
+        _IVF_STORE_CACHE[sf_dir] = store
+    res = knn_ivf_partitioned(
+        spark,
+        store,
+        _knn_query_vecs(spark, sf_dir),
+        centroids,
+        k=KNN_K,
+        nprobe=IVF_NPROBE,
+        score_round=ROUND,
+    )
+    return res.select(
+        "query_id",
+        "vec_id",
+        (F.col("dist") + F.lit(0.0)).alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full hybrid: BM25 leg + exact-KNN leg fused with RRF (ratio
     0.5, k=60, candidate widening x2 like the reference facade)."""
@@ -1236,6 +1284,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "rrf_hybrid": q_rrf_hybrid,
         # relational showcase
         "pricing_summary": q_pricing_summary,
