@@ -390,8 +390,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
     groups = len(list((base / "manifests").glob("group_*.json")))
 
+    from bm25_chroma_spark.index.shards import SHARD_SCAN_DDL
+
     parts = [
         spark.read.option("basePath", str(base / "shards"))
+        .schema(SHARD_SCAN_DDL)
         .parquet(str(base / "shards"))
         .select(
             "bucket", "term", "segment", "df", "doc_bytes", "tf_bytes",
@@ -426,6 +429,23 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     live.write.mode("overwrite").partitionBy("group", "bucket").parquet(
         str(tmp)
     )
+    # partitionBy creates no dir for a group with zero live rows, but
+    # readers address shards/group=G explicitly (shards.py
+    # _pruned_overlay) — every group the manifests promise must exist
+    # after the promote. Backfill missing groups with a schema'd empty
+    # parquet file (not a bare mkdir: a data file keeps the partition
+    # depth uniform and the dir non-degenerate), BEFORE the commit
+    # marker lands so a crash mid-backfill stays on the old base.
+    from bm25_chroma_spark.index.shards import SHARD_FILE_DDL
+
+    written = {d.name for d in tmp.glob("group=*")}
+    for g in range(groups):
+        if f"group={g}" not in written:
+            spark.createDataFrame([], SHARD_FILE_DDL).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                str(tmp / f"group={g}" / "bucket=0")
+            )
 
     ds = _live_doc_stats(spark, base)
     ds_tmp = base / "doc_stats_compacting"

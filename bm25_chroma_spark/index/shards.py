@@ -58,6 +58,12 @@ SHARD_DDL = (
     "blocks array<struct<first_doc: long, n: int, max_tf: int, "
     "min_dl: int, doc_off: int, tf_off: int, dl_off: int>>"
 )
+# on-disk file schema under shards/group=G/bucket=B/: partitionBy
+# strips the bucket (and group) columns out of the data files
+SHARD_FILE_DDL = SHARD_DDL.split(", ", 1)[1]
+# reader-side schema of the base shards tree (basePath=shards/):
+# group + bucket come back as partition columns
+SHARD_SCAN_DDL = "group int, " + SHARD_DDL
 
 
 def _config_hash(config: BM25Config) -> str:
@@ -689,11 +695,18 @@ class ShardedIndex:
         n_groups = _groups(self.path)
         groups = sorted({b % n_groups for b in buckets})
         paths = [str(self.path / "shards" / f"group={g}") for g in groups]
+        # explicit schema: no footer-sniffing job, and a group whose
+        # dir holds zero data files (tiny/skewed vocabulary, or every
+        # row deleted then compacted) reads as empty instead of
+        # failing schema inference
         df = self._scan(
             ("base", tuple(groups)),
             lambda: self.spark.read.option(
                 "basePath", str(self.path / "shards")
-            ).parquet(*paths),
+            )
+            .schema(SHARD_SCAN_DDL)
+            .parquet(*paths)
+            .drop("group"),
         )
         base = narrow(df.filter(F.col("bucket").isin(buckets))).select(
             "bucket", "term", "segment", "df", "doc_bytes", "tf_bytes",
@@ -708,7 +721,9 @@ class ShardedIndex:
                 g = int(d.name.split("_")[1])
                 gen_df = self._scan(
                     ("gen", g),
-                    lambda p=str(d / "shards"): self.spark.read.parquet(p),
+                    lambda p=str(d / "shards"): self.spark.read.schema(
+                        SHARD_DDL
+                    ).parquet(p),
                 )
                 parts.append(
                     narrow(

@@ -790,11 +790,15 @@ class SparkHybridRetriever:
 
     def _all_live_shards(self) -> DataFrame:
         """All live (term, segment) shard rows across generations."""
+        from bm25_chroma_spark.index.shards import SHARD_SCAN_DDL
+
         base = self._index.path
         parts = [
             self.spark.read.option(
                 "basePath", str(base / "shards")
-            ).parquet(str(base / "shards"))
+            )
+            .schema(SHARD_SCAN_DDL)
+            .parquet(str(base / "shards"))
             .select("term", "segment", "df", F.lit(0).alias("gen"))
         ]
         gen_root = base / "gen"

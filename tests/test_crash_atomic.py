@@ -355,3 +355,67 @@ def test_concurrent_finish_compaction_is_serialized(spark, tmp_path):
     assert (base / "shards").exists()
     assert not (base / "shards_compacting").exists()
     assert _results(spark, idx_dir) == want
+
+
+# ------------------------------------------------------------------ #
+# empty shard groups — skewed/tiny vocabularies and delete-heavy DML  #
+# ------------------------------------------------------------------ #
+
+
+def test_compaction_backfills_empty_group_dirs(spark, tmp_path):
+    """One-job compaction (partitionBy) writes no dir for a group with
+    zero live rows, but _pruned_overlay addresses shards/group=G
+    explicitly — a query whose term hashes to the empty group must
+    read empty, not crash with a missing path. The tiny vocabulary
+    below fills only bucket/group 1 (crc32 % 4), leaving groups
+    0/2/3 physically empty both at build and after compaction."""
+    # every term hashes to bucket 1 (zlib.crc32(w) % 4 == 1)
+    docs = [
+        (1, "gamma delta eta"),
+        (2, "theta phi spark"),
+        (3, "shuffle filter pi"),
+        (4, "gamma theta shuffle"),
+    ]
+    idx_dir = str(tmp_path / "idx")
+    build_sharded_index(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        idx_dir,
+        config=CFG,
+        bucket_groups=4,
+    )
+    queries = [(0, "gamma shuffle"), (1, "alpha"), (2, "alpha gamma")]
+
+    def res():
+        idx = ShardedIndex(spark, idx_dir)
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"])
+            for r in search_sharded(idx, queries, top_k=10).collect()
+        )
+
+    before = res()  # empty group dirs from the base build already read
+    assert before and all(q != 1 for q, _, _ in before)
+
+    _dml_delete(spark, idx_dir, 4, "gamma theta shuffle")
+    out = compact_index(spark, idx_dir)
+    assert out["compacted"]
+    base = Path(idx_dir)
+    for g in range(4):
+        assert (base / "shards" / f"group={g}").exists(), g
+
+    after = res()
+    assert all(q != 1 for q, _, _ in after)
+    assert {d for _, _, d in after} <= {1, 2, 3}
+
+
+def test_compact_after_deleting_everything(spark, tmp_path):
+    """Delete-heavy DML end state: every doc removed, then compaction.
+    All groups are empty; searches return no rows and stats stay
+    readable (no AnalysisException on any path)."""
+    idx_dir = _build(spark, str(tmp_path / "idx"))
+    for doc_id, text in DOCS:
+        _dml_delete(spark, idx_dir, doc_id, text)
+    out = compact_index(spark, idx_dir)
+    assert out["compacted"]
+    idx = ShardedIndex(spark, idx_dir)
+    assert idx.n_docs == 0
+    assert search_sharded(idx, QUERIES, top_k=10).count() == 0
