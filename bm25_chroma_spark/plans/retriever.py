@@ -169,8 +169,9 @@ class SparkHybridRetriever:
         config: Optional[BM25Config] = None,
         bucket_groups: int = 1,
         auto_compact_after: int = 16,
-        ann_threshold: Optional[int] = 100_000,
+        ann_threshold: Optional[int] = None,
         ann_nprobe: Optional[int] = None,
+        bm25_strategy: str = "auto",
     ):
         """auto_compact_after: fold DML generations back into the base
         once that many accumulate (bounds read amplification under
@@ -178,16 +179,28 @@ class SparkHybridRetriever:
 
         ann_threshold: corpus size above which the vector leg routes
         through IVF ANN (trained coarse quantizer, cached per corpus
-        state) instead of exact KNN. Below it, exact brute-force KNN
-        stays the default — it is deterministic and matches the
-        reference's result contract bit-for-bit, while ANN trades a
-        bounded recall loss for probe cost ~ nprobe/n_cells of the
-        corpus. Measured on the adversarial tiny fixture in
-        test_facade_ann_leg (near-tie hashed-BoW vectors): overlap
-        with exact top-10 is 0.8 at the default nprobe=n_cells/4 and
-        0.9 at nprobe=n_cells/2 — tune ``ann_nprobe`` (default
-        max(2, n_cells//4)) to trade recall for scan cost. None
-        disables ANN routing entirely.
+        state) instead of exact KNN. Default None: ANN is OPT-IN —
+        exact brute-force KNN is deterministic and matches the
+        reference's result contract bit-for-bit, and switching to ANN
+        silently would change accuracy (measured on the adversarial
+        tiny fixture in test_facade_ann_leg, near-tie hashed-BoW
+        vectors: overlap with exact top-10 is 0.8 at the default
+        nprobe=n_cells/4, 0.9 at nprobe=n_cells/2) and make the first
+        post-threshold query pay the inline k-means training job. Set
+        a threshold explicitly for the at-scale path (probe cost ~
+        nprobe/n_cells of the corpus instead of a full scan); which
+        engine actually served the last vector leg is reported in
+        ``last_vector_route`` ('exact' | 'ivf') so callers can always
+        tell when results became approximate. Tune ``ann_nprobe``
+        (default max(2, n_cells//4)) to trade recall for scan cost.
+
+        bm25_strategy: strategy passed to search_sharded by the BM25
+        leg — 'auto' (default) routes each query per its df profile
+        through exhaustive or Block-Max WAND (index/wand.py
+        _wand_vote_qids; the per-index df cache makes the vote one
+        cached collect), matching whichever engine measures faster
+        for that query's term statistics. Both engines are exact, so
+        results are identical; set 'exhaustive' or 'wand' to pin one.
 
         The default config is LOSSLESS (no posting caps): the
         retriever's index is the sharded path, whose query guard
@@ -209,6 +222,11 @@ class SparkHybridRetriever:
         self.auto_compact_after = auto_compact_after
         self.ann_threshold = ann_threshold
         self.ann_nprobe = ann_nprobe
+        self.bm25_strategy = bm25_strategy
+        # which engine served the most recent vector leg (see
+        # ann_threshold docstring): 'exact' | 'ivf' | None (no query
+        # yet / empty vectors store)
+        self.last_vector_route: Optional[str] = None
         # (corpus-state key, trained centroids) — invalidated whenever
         # the key (index generation, n_docs, vector gen count) moves
         self._ann_state: Optional[Tuple] = None
@@ -224,6 +242,26 @@ class SparkHybridRetriever:
 
     def _corpus_gens(self) -> List[Path]:
         return sorted((self.state / "corpus").glob("gen_*.parquet"))
+
+    def _filter_by_ids(
+        self, df: DataFrame, ids: Sequence[str], anti: bool = False
+    ) -> DataFrame:
+        """Membership against a caller-supplied id list as a BROADCAST
+        semi/anti join on a single-column DataFrame — never an
+        ``isin`` literal expression: a million-id bulk batch would
+        inline a million literals into one Catalyst expression and
+        blow up planning long before the data matters. Same
+        discipline as the engine layer (index/shards.py
+        shards_for_terms_df). The plan stays flat regardless of
+        len(ids); test_bulk_ids_plan_is_flat pins the shape."""
+        ids_df = self.spark.createDataFrame(
+            [(i,) for i in ids], "doc_uid string"
+        ).distinct()
+        return df.join(
+            F.broadcast(ids_df),
+            "doc_uid",
+            "left_anti" if anti else "left_semi",
+        )
 
     def corpus_df(self) -> DataFrame:
         """Live corpus: newest generation per doc_uid, tombstones out.
@@ -318,12 +356,8 @@ class SparkHybridRetriever:
         # evicted and lazily recompute over the mutated corpus.
         old_versions = None
         if self._index is not None:
-            prior = (
-                self.corpus_df()
-                .filter(F.col("doc_uid").isin(doc_ids))
-                .select(
-                    _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
-                )
+            prior = self._filter_by_ids(self.corpus_df(), doc_ids).select(
+                _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
             )
             if not prior.isEmpty():
                 snap = self.state / "tmp" / "old_versions.parquet"
@@ -387,8 +421,7 @@ class SparkHybridRetriever:
         left_anti join against the live corpus."""
         existing = {
             r["doc_uid"]
-            for r in self.corpus_df()
-            .filter(F.col("doc_uid").isin(doc_ids))
+            for r in self._filter_by_ids(self.corpus_df(), doc_ids)
             .select("doc_uid")
             .collect()
         }
@@ -440,7 +473,7 @@ class SparkHybridRetriever:
         written straight to the tombstone generation, which is then
         read back (a pinned snapshot) to drive the index DML — no
         driver-side row list, so bulk deletes scale."""
-        victims = self.corpus_df().filter(F.col("doc_uid").isin(doc_ids))
+        victims = self._filter_by_ids(self.corpus_df(), doc_ids)
         if victims.isEmpty():
             return  # unknown ids no-op (reference bm25.py:229-230)
         gen_path = self._next_gen("corpus")
@@ -524,7 +557,10 @@ class SparkHybridRetriever:
             )
         if self._index is None:
             return []
-        res = search_sharded(self._index, [(0, query)], top_k=top_k)
+        res = search_sharded(
+            self._index, [(0, query)], top_k=top_k,
+            strategy=self.bm25_strategy,
+        )
         rows = (
             res.join(self._uid_map(), "doc_id")
             .orderBy("rank")
@@ -592,7 +628,8 @@ class SparkHybridRetriever:
         if self._index is None:
             return out
         res = search_sharded(
-            self._index, list(enumerate(query_texts)), top_k=top_k
+            self._index, list(enumerate(query_texts)), top_k=top_k,
+            strategy=self.bm25_strategy,
         )
         rows = res.join(self._uid_map(), "doc_id").select(
             "query_id", "doc_uid", "score", "rank"
@@ -642,6 +679,7 @@ class SparkHybridRetriever:
         qvecs = self.embed(query_texts)
         n_live = self._index.n_docs if self._index is not None else 0
         if self.ann_threshold is not None and n_live >= self.ann_threshold:
+            self.last_vector_route = "ivf"
             centroids = self._ann_centroids(src, n_live)
             n_cells = len(centroids)
             res = knn_ivf(
@@ -655,6 +693,7 @@ class SparkHybridRetriever:
                 centroids=centroids,
             )
         else:
+            self.last_vector_route = "exact"
             res = knn_bruteforce(
                 src,
                 qvecs,

@@ -1,0 +1,73 @@
+"""Build-and-drive verification (the /verify recipe, scripted).
+
+Drives the public library surface end-to-end on real testdata plus
+the driver contract (entry + spot oracle cross-checks via DuckDB).
+Run: python scripts/verify_drive.py   (exit 0 = green)
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import importlib.util
+import pandas as pd
+
+from bm25_chroma_spark import get_spark
+from bm25_chroma_spark.operators import (
+    bm25_score_queries,
+    build_logical_index,
+)
+
+
+def main() -> None:
+    spark = get_spark("verify-drive", cores=4, shuffle_partitions=8)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_logical_index(docs, id_col="doc_id", text_col="text")
+    queries = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, ""), (3, "JOIN join Join")],
+        "query_id long, query_text string",
+    )
+    rows = bm25_score_queries(queries, idx, top_k=5).collect()
+    assert rows, "no BM25 results"
+    assert not [r for r in rows if r["query_id"] == 2], "empty query leaked"
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", str(Path(__file__).resolve().parent.parent / "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    n = df.count()
+    assert n >= 0 and df.schema, "entry contract broken"
+    print("entry rows:", n)
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    q, osql = mod.queries(), mod.oracle_sql()
+    spot = sys.argv[1:] or ["bm25_topk", "term_idf", "rrf_hybrid"]
+    for name in spot:
+        sdf = q[name](spark, sf).toPandas()
+        odf = con.execute(osql[name]).df()
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        assert scols == ocols, (name, scols, ocols)
+        a = sdf[scols].sort_values(scols).reset_index(drop=True)
+        b = odf[ocols].sort_values(ocols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a, b, check_dtype=False, check_exact=False, rtol=1e-9
+        )
+        print(name, "oracle MATCH", len(a), "rows")
+    spark.stop()
+    print("VERIFY-DRIVE OK")
+
+
+if __name__ == "__main__":
+    main()

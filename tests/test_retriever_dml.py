@@ -363,3 +363,62 @@ def test_auto_compaction_preserves_results(spark, tmp_path):
     assert {u for u, _ in r.search_bm25("epsilon zeta", top_k=5)} == set()
     res = r.query("alpha beta", n_results=2, include=["documents"])
     assert res["ids"][0][0] == "a"
+
+
+def test_bulk_ids_plan_is_flat(retriever):
+    """Bulk DML victim/dedup selection must stay DataFrame-native: a
+    100k-id batch goes through a broadcast semi join against a
+    single-column ids DataFrame, never a 100k-literal ``isin``
+    expression (Catalyst planning blows up on literal lists long
+    before the data matters). Pins both the plan shape and the
+    end-to-end behavior."""
+    docs = [f"document number {i} talks about topic{i % 7}" for i in range(50)]
+    ids = [f"doc_{i:05d}" for i in range(50)]
+    retriever.add_documents_batch(docs, ids)
+
+    bulk_ids = [f"doc_{i:05d}" for i in range(100_000)]  # 50 known
+
+    # plan shape: flat join, no giant literal expression
+    victims = retriever._filter_by_ids(retriever.corpus_df(), bulk_ids)
+    plan = victims._jdf.queryExecution().optimizedPlan().toString()
+    assert "doc_uid IN" not in plan and " IN (doc_" not in plan
+    assert "Join LeftSemi" in plan
+    assert len(plan) < 20_000, len(plan)
+
+    # dedup-before-insert with the bulk list: all 50 already exist
+    stats = retriever.add_new_documents_only(
+        ["fresh text alpha"], ["doc_00001"]
+    )
+    assert stats["total_documents"] == 0
+
+    # bulk delete with 100k ids (99_950 unknown) completes and removes
+    # exactly the 50 known docs
+    retriever.remove_documents_batch(bulk_ids)
+    assert retriever._index.n_docs == 0
+    assert retriever.corpus_df().count() == 0
+
+
+def test_facade_bm25_auto_matches_exhaustive(spark, tmp_path):
+    """bm25_strategy='auto' (the new default) must return results
+    identical to the pinned exhaustive path — both engines are exact;
+    the router only picks the faster one per query."""
+    docs = [
+        f"shared corpus term doc{i} plus {'anchor' if i % 3 == 0 else 'filler'}"
+        for i in range(30)
+    ]
+    ids = [f"d{i}" for i in range(30)]
+    r_auto = SparkHybridRetriever(spark, str(tmp_path / "a"))
+    r_exh = SparkHybridRetriever(
+        spark, str(tmp_path / "b"), bm25_strategy="exhaustive"
+    )
+    assert r_auto.bm25_strategy == "auto"
+    for r in (r_auto, r_exh):
+        r.add_documents_batch(docs, ids)
+    for q in ["anchor doc3", "shared filler", "corpus", "unknownterm"]:
+        assert r_auto.search_bm25(q, top_k=10) == r_exh.search_bm25(
+            q, top_k=10
+        ), q
+    qres_a = r_auto.query(["anchor corpus", "filler doc7"], n_results=5)
+    qres_e = r_exh.query(["anchor corpus", "filler doc7"], n_results=5)
+    assert qres_a["ids"] == qres_e["ids"]
+    assert qres_a["distances"] == qres_e["distances"]
