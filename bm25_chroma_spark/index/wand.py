@@ -32,10 +32,13 @@ block; or anchors too sparse to fill a segment's top-k, which
 degenerates WAND to a full Python DAAT — measured 34s vs 5.3s at
 200k docs) exhaustive wins and ``auto`` — the PER-QUERY rule from
 driver-side df stats (_wand_vote_qids, thresholds calibrated against
-both measurements; a mixed batch runs each half on its own engine,
-measured: bench 'wand_mixed' auto 9.8s vs 23.4s all-exhaustive /
-21.4s all-wand) — routes there. Both strategies are exact
-(property-tested identical).
+both measurements; a mixed batch runs each half on its own engine) —
+routes there. Measured across runs (bench 'wand_mixed', 8+8 mixed
+queries at 1M docs): auto beats BOTH single strategies in every run,
+but its margin over all-exhaustive swings with host noise — ~5% in
+the committed r4 artifact (13.0s vs 13.6 all-exhaustive / 26.0
+all-wand) up to ~40% on quieter runs; the all-wand side loses big
+and stably. Both strategies are exact (property-tested identical).
 
 Pruning uses a conservative epsilon (skip only when the bound is
 below threshold - 1e-12) so float drift can never drop a true top-k
@@ -314,8 +317,10 @@ def _wand_vote_qids(
     anchored, half flat) no longer drags its minority half through
     the wrong engine. Measured (bench 'wand_mixed', 1M docs, 8+8
     queries, steady-state): auto beats both single strategies in
-    every measured run (e.g. 11.0s vs 17.0 all-exhaustive / 28.8
-    all-wand).
+    every measured run; the committed r4 artifact has 13.0s vs 13.6
+    all-exhaustive / 26.0 all-wand, with the exhaustive margin
+    swinging ~5-40% across runs on this burstable host (the all-wand
+    loss is large and stable).
 
     WAND beats the vectorized exhaustive scan only when block
     skipping mathematically ENGAGES: a high-idf ANCHOR term must
@@ -646,8 +651,8 @@ def search_sharded(
         # PER-QUERY routing: each query runs on the engine its own
         # df profile votes for; a mixed batch unions two disjoint
         # result sets instead of dragging its minority half through
-        # the wrong path (bench wand_mixed: auto 9.8s beats 23.4s
-        # all-exhaustive and 21.4s all-wand).
+        # the wrong path (bench wand_mixed: auto wins every measured
+        # run — see _wand_vote_qids for the quoted ranges).
         wand_qids = _wand_vote_qids(
             qt_data,
             {r["term"]: int(r["df"]) for r in df_rows},

@@ -472,7 +472,15 @@ def knn_ivf_partitioned(
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int"
     ).join(q, "query_id")
-    scan = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    scan = spark.read.parquet(path)
+    if len(all_cells) <= _IVF_EXPR_MAX_LITERALS:
+        # static partition pruning: the literal in-list lets Catalyst
+        # drop non-probed cell=K directories at planning time
+        scan = scan.filter(F.col("cell").isin(all_cells))
+    # else: a large probe set would re-create the literal-list plan
+    # blowup the quantizer caps at _IVF_EXPR_MAX_LITERALS — skip the
+    # static filter and let the broadcast probes join below prune at
+    # runtime (dynamic partition pruning on the cell= partition)
     cand = scan.join(F.broadcast(probes), "cell").select(
         "query_id", "vec_id", "vec", "qvec"
     )

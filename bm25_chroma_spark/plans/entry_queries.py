@@ -551,6 +551,13 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = ivf_train_centroids(emb, IVF_CELLS, n_iters=2)
+    # rows-only contract asserts run-to-run determinism, but the
+    # trainer's centroid sums merge shuffle partials in
+    # nondeterministic fetch order — fix the centroids to 6 decimals
+    # so last-ulp summation drift can never flip a boundary cell
+    # assignment between runs (recall is unaffected: 1e-6 is far
+    # below any inter-centroid distance at this scale)
+    centroids = [[round(x, 6) for x in c] for c in centroids]
     res = knn_ivf(
         emb,
         _knn_query_vecs(spark, sf_dir),

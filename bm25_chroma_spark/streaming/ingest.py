@@ -251,7 +251,12 @@ def stream_dedup_first_seen(
         cols.append(F.col(ts_col).cast("timestamp").alias("ts"))
     hashed = stream.select(*cols)
     if state_ttl is not None:
-        hashed = hashed.withWatermark("ts", state_ttl)
+        # a null event time can neither be watermarked nor drive a
+        # state timeout — drop such rows up front instead of crashing
+        # the query inside the stateful UDF
+        hashed = hashed.filter(F.col("ts").isNotNull()).withWatermark(
+            "ts", state_ttl
+        )
 
     out_schema = StructType(
         [
@@ -282,8 +287,19 @@ def stream_dedup_first_seen(
         state.update((True,))
         if with_ttl:
             # expires when the watermark (event-time high mark minus
-            # the TTL delay) passes the first-seen event time
-            state.setTimeoutTimestamp(int(best_ts.value // 10**6))
+            # the TTL delay) passes the first-seen event time. Spark
+            # rejects a timeout at/below the CURRENT watermark
+            # (boundary-late data would fail the whole query), so
+            # clamp to watermark + 1ms; a NaT ts (possible only if
+            # the upstream null filter is bypassed) degrades to the
+            # soonest legal expiry instead of crashing.
+            wm = state.getCurrentWatermarkMs()
+            ts_ms = (
+                int(best_ts.value // 10**6)
+                if best_ts is not None and not pd.isna(best_ts)
+                else wm + 1
+            )
+            state.setTimeoutTimestamp(max(ts_ms, wm + 1))
         yield pd.DataFrame(
             [
                 {

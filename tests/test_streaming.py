@@ -327,3 +327,53 @@ def test_stream_dedup_ttl_bounds_state_and_readmits(spark, tmp_path):
     # 2 dropped (same hash as 1, inside the 5-minute window);
     # 5 re-admitted (hash expired when the watermark passed 00:05)
     assert got == [1, 3, 4, 5], got
+
+
+def test_stream_dedup_ttl_boundary_late_and_null_ts(spark, tmp_path):
+    """TTL edge cases that must not kill the streaming query: a
+    first-seen row whose event time sits just above the current
+    watermark (the closest a row can get — Spark's late-row filter
+    drops ts <= watermark before the stateful operator; the
+    setTimeoutTimestamp clamp to watermark+1ms covers any residual
+    boundary) and a null event time, which can neither be
+    watermarked nor drive a timeout — filtered upstream instead of
+    crashing best_ts.value inside the UDF."""
+    import shutil
+
+    from bm25_chroma_spark.streaming.ingest import stream_dedup_first_seen
+
+    batches = [
+        # watermark after this batch: 00:10 - 5min = 00:05
+        [(1, "seed text", "2026-01-01 00:10:00")],
+        # ts one second above the watermark (new hash) + null ts
+        [(2, "boundary text", "2026-01-01 00:05:01"),
+         (3, "null ts text", None)],
+    ]
+    flat = tmp_path / "edge_src"
+    flat.mkdir()
+    out = tmp_path / "edge_out"
+    for bi, rows in enumerate(batches):
+        tmp = tmp_path / f"edge_stage{bi}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp))
+        for n, p in enumerate(sorted(tmp.rglob("*.parquet"))):
+            shutil.copy(p, flat / f"b{bi}_{n}.parquet")
+        q = stream_dedup_first_seen(
+            spark,
+            str(flat),
+            str(tmp_path / "edge_ck"),
+            str(out),
+            schema="doc_id long, text string, ts timestamp",
+            state_ttl="5 minutes",
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    # 1 and 2 emitted; 3 (null ts) dropped before the stateful op
+    assert got == [1, 2], got
