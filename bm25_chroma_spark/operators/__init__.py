@@ -22,6 +22,7 @@ from bm25_chroma_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
+from bm25_chroma_spark.operators.embed import embed_corpus
 from bm25_chroma_spark.operators.fusion import rrf_fuse
 
 __all__ = [
@@ -43,5 +44,6 @@ __all__ = [
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_near_dups",
+    "embed_corpus",
     "rrf_fuse",
 ]

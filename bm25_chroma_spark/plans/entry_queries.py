@@ -1186,6 +1186,67 @@ SELECT query_id, doc_id, rrf_score, rank FROM ranked WHERE rank <= 10
 _ORACLES["rrf_hybrid"] = _rrf_oracle()
 
 
+def q_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed corpus embedding (operators/embed.py): the hashed
+    bag-of-words projection runs inside mapInPandas on the executors
+    — the DataFrame-native ingest step the reference's driver-side
+    batch embed (hybrid_retriever.py:104-140) cannot scale to. The
+    embedder is pinned to hashed_bow (not the probe default) so the
+    oracle stays stable even where sentence-transformers exists.
+
+    Output is the exploded sparse form (doc_id, dim, val) of the
+    L2-normalized signed-BoW vector, nonzero dims only, rounded to 6
+    decimals — every hash/sign/normalize step is mirrored exactly in
+    the SQL oracle (sha256 hex arithmetic: dim = first-4-bytes % 64
+    reduces to hex chars 7-8 % 64; sign = parity of hex char 10)."""
+    from bm25_chroma_spark.operators.embed import embed_corpus
+    from bm25_chroma_spark.plans.retriever import hashed_bow_embedder
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "text")
+    emb = embed_corpus(docs, embed_fn=hashed_bow_embedder)
+    return (
+        emb.select(
+            "doc_id", F.posexplode("embedding").alias("dim", "v")
+        )
+        .filter(F.col("v") != 0.0)
+        .select(
+            "doc_id",
+            F.col("dim").cast("int").alias("dim"),
+            (F.round("v", ROUND) + F.lit(0.0)).alias("val"),
+        )
+    )
+
+
+_ORACLES["embed_corpus"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> length(t) > 0)) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ((16 * (strpos('0123456789abcdef', substr(sha256(tok), 7, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(sha256(tok), 8, 1)) - 1))
+          % 64) AS dim,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(sha256(tok), 10, 1)) - 1) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM toks
+),
+sums AS (
+  SELECT doc_id, dim, sum(sign) AS s
+  FROM hashed GROUP BY doc_id, dim
+  HAVING sum(sign) != 0
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(s * s)) AS nrm FROM sums GROUP BY doc_id
+)
+SELECT sums.doc_id, dim::INT AS dim, round(s / nrm, 6) + 0.0 AS val
+FROM sums JOIN norms ON sums.doc_id = norms.doc_id
+"""
+
+
 # ----------------------------------------------------------------- #
 # relational showcase (general analytics over the TPC-H-ish tables)  #
 # ----------------------------------------------------------------- #
@@ -1285,6 +1346,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "seq_packing": q_seq_packing,
         # vector family
+        "embed_corpus": q_embed_corpus,
         "knn_topk": q_knn_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
