@@ -283,6 +283,78 @@ def ivf_seed_centroids(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+# Above this dimensionality the per-dimension F.sum(vec[i]) update
+# (O(dim) Catalyst expressions per Lloyd round) is swapped for the
+# Arrow partial-sum path: planning cost grows with the expression
+# count, not the data, and a 1024-dim quantizer would carry 1024
+# aggregate expressions through every round.
+_KMEANS_EXPR_MAX_DIM = 256
+
+
+def _centroid_sums_arrow(assigned: DataFrame, dim: int) -> list:
+    """(cell, n, sums[dim]) via Arrow: one mapInPandas pass emits at
+    most one partial row per (partition, cell) — the map-side combine
+    — then a grouped applyInPandas merge leaves exactly one row per
+    cell. The shuffle moves n_partitions x n_cells packed rows, never
+    the vectors, and the driver receives only n_cells rows."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("n", LongType()),
+            StructField("sums", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        acc: dict = {}
+        for pdf in batches:
+            cells = pdf["cell"].to_numpy()
+            M = np.stack(pdf["vec"].to_numpy())
+            for c in np.unique(cells):
+                m = cells == c
+                got = acc.get(int(c))
+                if got is None:
+                    acc[int(c)] = [int(m.sum()), M[m].sum(axis=0)]
+                else:
+                    got[0] += int(m.sum())
+                    got[1] += M[m].sum(axis=0)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cell": list(acc.keys()),
+                    "n": [v[0] for v in acc.values()],
+                    "sums": [v[1].tolist() for v in acc.values()],
+                }
+            )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        S = np.stack(pdf["sums"].to_numpy()).sum(axis=0)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n": [int(pdf["n"].sum())],
+                "sums": [S.tolist()],
+            }
+        )
+
+    return (
+        assigned.select("cell", "vec")
+        .mapInPandas(partials, schema=schema)
+        .groupBy("cell")
+        .applyInPandas(lambda pdf: merge(pdf), schema=schema)
+        .collect()
+    )
+
+
 def ivf_train_centroids(
     embeddings: DataFrame,
     n_cells: int,
@@ -290,18 +362,31 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_centroids: Optional[List[List[float]]] = None,
+    method: str = "auto",
 ) -> List[List[float]]:
     """Distributed Lloyd's k-means for the IVF coarse quantizer.
 
     Each iteration is ONE Spark aggregation job: assignment reuses the
-    narrow whole-stage-codegen'd ``ivf_assign_cells`` pass, and the
-    centroid update is a map-side-combined groupBy(cell) with
-    per-dimension ``sum(vec[i])`` expressions — no posexplode (which
-    would multiply the shuffle by ``dim``), no vectors collected to
-    the driver; only the (n_cells x dim) sums come back. Empty cells
-    keep their previous centroid. Deterministic given the seeds
-    (medoid seeds by default), so results are reproducible across
-    runs and cluster sizes.
+    ``ivf_assign_cells`` pass, and the centroid update has two
+    physical forms with identical semantics —
+
+    * ``expr`` — map-side-combined groupBy(cell) with per-dimension
+      ``sum(vec[i])`` expressions: whole-stage-codegen'd, no
+      posexplode (which would multiply the shuffle by ``dim``), no
+      vectors collected to the driver; only the (n_cells x dim) sums
+      come back. The right form while ``dim`` is modest.
+    * ``arrow`` — mapInPandas partial sums per (partition, cell) +
+      grouped merge (see _centroid_sums_arrow): O(1) Catalyst
+      expressions regardless of ``dim``, numpy-vectorized adds. The
+      at-scale form for 1024-dim embeddings, where the expr form
+      would drag dim aggregate expressions through every round's
+      plan.
+    * ``auto`` — expr up to dim ``_KMEANS_EXPR_MAX_DIM``, else arrow.
+      Parity is test-pinned (test_kmeans_arrow_matches_expr).
+
+    Empty cells keep their previous centroid. Deterministic given the
+    seeds (medoid seeds by default) up to float summation order, so
+    results are reproducible across runs and cluster sizes.
 
     FAISS-style trained cells give materially better recall-per-nprobe
     than raw medoid seeds on clustered data (see
@@ -319,23 +404,37 @@ def ivf_train_centroids(
         )
     centroids = [list(map(float, c)) for c in seed_centroids]
     dim = len(centroids[0])
+    if method == "auto":
+        method = "expr" if dim <= _KMEANS_EXPR_MAX_DIM else "arrow"
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"unknown k-means method {method!r}")
     sum_exprs = [
         F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(dim)
-    ]
+    ] if method == "expr" else None
     for _ in range(n_iters):
         assigned = ivf_assign_cells(e, centroids)
-        rows = (
-            assigned.groupBy("cell")
-            .agg(F.count("*").alias("n"), *sum_exprs)
-            .collect()
-        )
+        if method == "expr":
+            rows = (
+                assigned.groupBy("cell")
+                .agg(F.count("*").alias("n"), *sum_exprs)
+                .collect()
+            )
+            sums = {
+                int(r["cell"]): (
+                    float(r["n"]),
+                    [float(r[f"s{i}"]) for i in range(dim)],
+                )
+                for r in rows
+            }
+        else:
+            sums = {
+                int(r["cell"]): (float(r["n"]), list(r["sums"]))
+                for r in _centroid_sums_arrow(assigned, dim)
+            }
         new_centroids = [list(c) for c in centroids]  # empty cells keep
-        for r in rows:
-            n = float(r["n"])
+        for cell, (n, s) in sums.items():
             if n > 0:
-                new_centroids[int(r["cell"])] = [
-                    float(r[f"s{i}"]) / n for i in range(dim)
-                ]
+                new_centroids[cell] = [x / n for x in s]
         centroids = new_centroids
     return centroids
 

@@ -515,3 +515,99 @@ def test_hashed_bow_embedder_semantics(spark, tmp_path):
     )
     top = r.search_vector("spark shuffle join speed", top_k=3)
     assert top[0][0] == "d_spark"
+
+
+def test_ivf_trainer_degenerate_and_numpy_lloyd_parity(spark):
+    """Strengthens the rows-only ann_ivf_trained contract entry with
+    in-repo exact cross-checks: (a) n_iters=0 returns the medoid
+    seeds verbatim — the trained path degenerates to exactly what
+    the hash-green ann_ivf oracle pins; (b) the distributed trainer
+    reproduces a driver-side numpy Lloyd reference (same seeds, same
+    iteration count, cosine assignment with ties to the smallest
+    cell, empty cells keep their centroid) to float tolerance, and
+    the resulting cell assignments agree exactly."""
+    from bm25_chroma_spark.operators.knn import (
+        ivf_assign_cells,
+        ivf_seed_centroids,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 8) * 4.0
+    rows = [
+        (i, (centers[i % 4] + rng.randn(8) * 0.25).tolist())
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeds = ivf_seed_centroids(df, 6)
+    assert ivf_train_centroids(df, 6, n_iters=0) == seeds
+
+    n_iters = 3
+    trained = ivf_train_centroids(df, 6, n_iters=n_iters)
+
+    # driver-side numpy Lloyd with identical semantics
+    X = np.array([v for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+    order = np.argsort(ids)
+    X = X[order]
+    C = np.array(seeds, dtype=np.float64)
+    for _ in range(n_iters):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        # cosine distance argmin, ties to smallest cell id (argmin
+        # returns the first minimum)
+        assign = np.argmin(1.0 - Xn @ Cn.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    assert np.allclose(np.array(trained), C, rtol=1e-9, atol=1e-12)
+
+    # and the quantizer agrees cell-for-cell with the numpy reference
+    e = df.selectExpr("vec_id", "cast(embedding as array<double>) as vec")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_cells(e, trained).collect()
+    }
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = np.array(trained) / np.linalg.norm(
+        np.array(trained), axis=1, keepdims=True
+    )
+    want = np.argmin(1.0 - Xn @ Cn.T, axis=1)
+    assert [got[i] for i in sorted(got)] == list(want)
+
+
+def test_kmeans_arrow_matches_expr(spark):
+    """The Arrow partial-sum centroid update (the high-dim scale path
+    — O(1) Catalyst expressions per round instead of O(dim)) must
+    reproduce the expression-form trainer: same seeds, same
+    iterations, centroids equal to float tolerance and quantizer
+    assignments identical."""
+    from bm25_chroma_spark.operators.knn import (
+        ivf_assign_cells,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(5, 12) * 3.0
+    rows = [
+        (i, (centers[i % 5] + rng.randn(12) * 0.4).tolist())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    expr = ivf_train_centroids(df, 5, n_iters=3, method="expr")
+    arrow = ivf_train_centroids(df, 5, n_iters=3, method="arrow")
+    assert np.allclose(np.array(expr), np.array(arrow), rtol=1e-9)
+
+    e = df.selectExpr("vec_id", "cast(embedding as array<double>) as vec")
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign_cells(e, expr).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign_cells(e, arrow).collect()
+    )
+    assert a == b
