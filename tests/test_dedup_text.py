@@ -447,3 +447,55 @@ def test_simhash_cap_lossless_for_identical_mass(spark):
         capped = comps(simhash_near_dups(df, max_bucket=30))
         uncapped = comps(simhash_near_dups(df))
         assert capped == uncapped, trial
+
+
+def test_simhash_udf_vectorized_parity(spark):
+    """The batch-vectorized simhash64 UDF must be bit-identical to a
+    naive per-token reference for both hash variants, including
+    empty/None/whitespace-only/duplicate-token/unicode rows and docs
+    straddling Arrow batch boundaries."""
+    import hashlib
+
+    import numpy as np
+
+    from bm25_chroma_spark.operators.dedup import make_simhash64_udf
+
+    rng = np.random.RandomState(3)
+    vocab = [f"tok{i}" for i in range(50)] + ["naïve", "ünïcode"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 30)))
+        for _ in range(300)
+    ]
+    texts += ["", None, "   ", "dup dup dup dup", "Tok1 TOK1 tok1"]
+
+    def naive(text, tok_hash):
+        if not text:
+            return 0
+        votes = [0] * 64
+        for tok in str(text).lower().split():
+            h = tok_hash(tok)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if votes[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    hashes = {
+        "blake2b": lambda t: int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+        ),
+        "md5": lambda t: int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "little"
+        ),
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    ).repartition(4)
+    for variant, th in hashes.items():
+        got = {
+            r["i"]: r["sig"]
+            for r in df.select(
+                "i", make_simhash64_udf(variant)(F.col("text")).alias("sig")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == naive(t, th), (variant, i, t)
