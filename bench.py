@@ -272,6 +272,50 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
             )
         shutil.rmtree(out4, ignore_errors=True)
 
+        # 7c. The WAND win reaching the END-USER surface (r5): a
+        # retriever state over the same 1M corpus, queried through
+        # the ChromaDB-compatible query() — bm25_strategy='auto' (the
+        # new facade default, per-query routing) vs pinned
+        # 'exhaustive' (the pre-r5 facade behavior). The state is
+        # laid down directly (corpus gen parquet + sharded index over
+        # xxhash64 uids) because the reference-parity list API cannot
+        # ingest 1M docs driver-side; the vectors store stays empty
+        # so the timing isolates the BM25 leg + uid-map join the
+        # facade always pays. 8 anchored queries, n_results=10,
+        # subset-warmed steady state like 7/7b.
+        from bm25_chroma_spark.plans.retriever import (
+            SparkHybridRetriever,
+        )
+
+        fac1m = Path(tempfile.mkdtemp(prefix=f"bench_fac1m_{cpus}_"))
+        (fac1m / "corpus").mkdir(parents=True)
+        docs1m.selectExpr(
+            "cast(doc_id as string) as doc_uid",
+            "text",
+            "cast(null as string) as meta_json",
+            "false as deleted",
+        ).write.mode("overwrite").parquet(
+            str(fac1m / "corpus" / "gen_00001.parquet")
+        )
+        build_sharded_index(
+            spark.read.parquet(
+                str(fac1m / "corpus" / "gen_00001.parquet")
+            ).selectExpr("xxhash64(doc_uid) as doc_id", "text"),
+            str(fac1m / "index"),
+            config=LOSSLESS_CONFIG,
+            bucket_groups=1,
+        )
+        fq1m = [f"hota hotb hotc anchor{7 * i + 3}" for i in range(8)]
+        for strat in ("exhaustive", "auto"):
+            retr1m = SparkHybridRetriever(
+                spark, str(fac1m), bm25_strategy=strat
+            )
+            retr1m.query(fq1m[:2], n_results=10)  # warm
+            t0 = time.time()
+            retr1m.query(fq1m, n_results=10)
+            timings[f"facade_1m_{strat}"] = time.time() - t0
+        shutil.rmtree(fac1m, ignore_errors=True)
+
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(out2, ignore_errors=True)
     shutil.rmtree(out3, ignore_errors=True)

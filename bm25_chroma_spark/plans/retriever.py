@@ -561,8 +561,12 @@ class SparkHybridRetriever:
             self._index, [(0, query)], top_k=top_k,
             strategy=self.bm25_strategy,
         )
+        # broadcast the RESULT side: top-k rows are tiny by contract,
+        # the uid map is corpus-sized — without the hint Catalyst has
+        # no size estimate for the windowed result and sort-merge
+        # joins the full corpus instead of streaming it once
         rows = (
-            res.join(self._uid_map(), "doc_id")
+            F.broadcast(res).join(self._uid_map(), "doc_id")
             .orderBy("rank")
             .select("doc_uid", "score")
             .collect()
@@ -631,7 +635,9 @@ class SparkHybridRetriever:
             self._index, list(enumerate(query_texts)), top_k=top_k,
             strategy=self.bm25_strategy,
         )
-        rows = res.join(self._uid_map(), "doc_id").select(
+        # broadcast the tiny top-k result against the corpus-sized
+        # uid map (see search_bm25)
+        rows = F.broadcast(res).join(self._uid_map(), "doc_id").select(
             "query_id", "doc_uid", "score", "rank"
         ).collect()
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
@@ -702,7 +708,7 @@ class SparkHybridRetriever:
                 vec_col="embedding",
             )
         uid = self._uid_map().withColumnRenamed("doc_id", "vec_id")
-        rows = res.join(uid, "vec_id").select(
+        rows = F.broadcast(res).join(uid, "vec_id").select(
             "query_id", "doc_uid", "sim", "rank"
         ).collect()
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
