@@ -265,11 +265,26 @@ class SparkHybridRetriever:
 
     def corpus_df(self) -> DataFrame:
         """Live corpus: newest generation per doc_uid, tombstones out.
-        Carries the optional user metadata column (meta_json)."""
+        Carries the optional user metadata column (meta_json).
+
+        Single-generation fast path: with one gen on disk (fresh
+        build, or any state after _compact_store folded the stack)
+        every doc_uid appears once, so the newest-wins overlay — a
+        full-corpus window SHUFFLE — is skipped entirely. The uid-map
+        join every query() pays then stays a narrow scan, which at 1M
+        docs is the difference between a per-query exchange of the
+        whole corpus and none."""
         gens = self._corpus_gens()
         if not gens:
             return self.spark.createDataFrame(
                 [], "doc_uid string, text string, meta_json string"
+            )
+        if len(gens) == 1:
+            df = self.spark.read.parquet(str(gens[0]))
+            if "meta_json" not in df.columns:
+                df = df.withColumn("meta_json", F.lit(None).cast("string"))
+            return df.filter(~F.col("deleted")).select(
+                "doc_uid", "text", "meta_json"
             )
         parts = []
         for p in gens:
@@ -301,6 +316,14 @@ class SparkHybridRetriever:
         if not gens:
             return self.spark.createDataFrame(
                 [], "doc_uid string, embedding array<double>"
+            )
+        if len(gens) == 1:
+            # single gen: no overlay window needed (see corpus_df);
+            # the corpus join below still drops deleted docs' vectors
+            return (
+                self.spark.read.parquet(str(gens[0]))
+                .select("doc_uid", "embedding")
+                .join(self.corpus_df().select("doc_uid"), "doc_uid")
             )
         parts = [
             self.spark.read.parquet(str(p)).withColumn(

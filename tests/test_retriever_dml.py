@@ -422,3 +422,31 @@ def test_facade_bm25_auto_matches_exhaustive(spark, tmp_path):
     qres_e = r_exh.query(["anchor corpus", "filler doc7"], n_results=5)
     assert qres_a["ids"] == qres_e["ids"]
     assert qres_a["distances"] == qres_e["distances"]
+
+
+def test_corpus_single_gen_fast_path(retriever):
+    """With exactly one corpus generation (fresh build / post-compact
+    state) corpus_df must skip the newest-wins overlay entirely — no
+    Window, no Exchange in the plan — while returning the same rows;
+    a second generation switches back to the overlay."""
+    docs = [f"text number {i}" for i in range(8)]
+    ids = [f"d{i}" for i in range(8)]
+    retriever.add_documents_batch(docs, ids)
+
+    assert len(retriever._corpus_gens()) == 1
+    plan = (
+        retriever.corpus_df()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Window" not in plan, plan
+    got = {
+        r["doc_uid"]: r["text"] for r in retriever.corpus_df().collect()
+    }
+    assert got == dict(zip(ids, docs))
+
+    # second gen (an upsert) re-engages the overlay and stays correct
+    retriever.add_documents_batch(["replaced text"], ["d3"])
+    assert len(retriever._corpus_gens()) == 2
+    got = {
+        r["doc_uid"]: r["text"] for r in retriever.corpus_df().collect()
+    }
+    assert got["d3"] == "replaced text" and len(got) == 8
