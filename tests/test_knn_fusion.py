@@ -377,6 +377,10 @@ def test_facade_ann_leg(spark, tmp_path):
     exact_top = [u for u, _ in exact_r.search_vector(q, top_k=10)]
     ann_top = [u for u, _ in ann_r.search_vector(q, top_k=10)]
     assert ann_r._ann_state is not None  # the IVF path actually ran
+    # routing is never silent: callers can always tell which engine
+    # served the vector leg (ADVICE r4)
+    assert exact_r.last_vector_route == "exact"
+    assert ann_r.last_vector_route == "ivf"
     overlap = len(set(exact_top) & set(ann_top)) / len(exact_top)
     assert overlap >= 0.8, (overlap, exact_top, ann_top)
 
