@@ -435,6 +435,96 @@ class SparkHybridRetriever:
             "mode": mode,
         }
 
+    def add_documents_df(self, docs: DataFrame, embed: bool = True) -> Dict:
+        """DataFrame-native batch add/upsert — the at-scale ingest
+        path the reference's list API cannot express (a 100 TB corpus
+        never fits through driver-side Python lists).
+
+        ``docs``: (doc_uid string, text string[, meta_json string]).
+        Rows stay distributed end-to-end: the corpus generation is
+        written straight from the DataFrame, embeddings are computed
+        executor-side via ``embed_corpus`` (mapInPandas — requires a
+        picklable embedding function; the hashed-BoW default is), and
+        the index ingests through the same build/DML machinery as the
+        list API. Upsert semantics match ``add_documents_batch``:
+        prior versions of re-added ids are snapshotted (DataFrame
+        semi join, no id list on the driver) and hard-deleted from
+        the index first. Duplicate doc_uids within one batch are
+        collapsed to an arbitrary single row (a DataFrame has no
+        insertion order to break the tie the way the list API does) —
+        pre-aggregate upstream if the choice matters.
+
+        ``embed=False`` skips the vectors generation (BM25-only
+        corpora; the vector leg then serves nothing for these docs).
+        """
+        t0 = time.time()
+        cols = set(docs.columns)
+        if not {"doc_uid", "text"} <= cols:
+            raise ValueError("docs must carry doc_uid and text columns")
+        batch = docs.select(
+            "doc_uid",
+            "text",
+            F.col("meta_json").cast("string")
+            if "meta_json" in cols
+            else F.lit(None).cast("string").alias("meta_json"),
+        ).dropDuplicates(["doc_uid"]).withColumn("deleted", F.lit(False))
+
+        old_versions = None
+        if self._index is not None:
+            prior = self.corpus_df().join(
+                batch.select("doc_uid"), "doc_uid", "left_semi"
+            ).select(
+                _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+            )
+            if not prior.isEmpty():
+                snap = self.state / "tmp" / "old_versions.parquet"
+                prior.write.mode("overwrite").parquet(str(snap))
+                old_versions = self.spark.read.parquet(str(snap))
+
+        gen_path = self._next_gen("corpus")
+        batch.write.mode("overwrite").parquet(str(gen_path))
+        written = self.spark.read.parquet(str(gen_path))  # pinned
+        n = written.count()
+
+        if embed:
+            from bm25_chroma_spark.operators.embed import embed_corpus
+
+            embed_corpus(
+                written.select("doc_uid", "text"), embed_fn=self.embed
+            ).select("doc_uid", "embedding").write.mode(
+                "overwrite"
+            ).parquet(str(self._next_gen("vectors")))
+
+        docs_long = written.select(
+            _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+        )
+        idx_dir = self.state / "index"
+        if self._index is None:
+            build_sharded_index(
+                docs_long,
+                str(idx_dir),
+                config=self.config,
+                bucket_groups=self.bucket_groups,
+            )
+            self._index = ShardedIndex(self.spark, str(idx_dir))
+        else:
+            apply_dml(
+                self.spark,
+                str(idx_dir),
+                upserts=docs_long,
+                delete_docs=old_versions,
+            )
+            self._index.refresh()
+            self._maybe_compact()
+
+        total = time.time() - t0
+        return {
+            "total_documents": n,
+            "total_time_seconds": total,
+            "docs_per_second": n / total if total else 0.0,
+            "mode": "dataframe",
+        }
+
     def add_new_documents_only(
         self, documents: List[str], doc_ids: List[str], **kwargs
     ) -> Dict:
@@ -496,7 +586,21 @@ class SparkHybridRetriever:
         written straight to the tombstone generation, which is then
         read back (a pinned snapshot) to drive the index DML — no
         driver-side row list, so bulk deletes scale."""
-        victims = self._filter_by_ids(self.corpus_df(), doc_ids)
+        self._remove_victims(self._filter_by_ids(self.corpus_df(), doc_ids))
+
+    def remove_documents_df(self, ids: DataFrame) -> None:
+        """DataFrame-native bulk delete: ``ids`` carries a doc_uid
+        column (extra columns ignored); victims resolve via a semi
+        join, so a billion-id delete set never touches the driver.
+        The DataFrame sibling of remove_documents_batch, same
+        tombstone + hard-delete DML semantics."""
+        self._remove_victims(
+            self.corpus_df().join(
+                ids.select("doc_uid").distinct(), "doc_uid", "left_semi"
+            )
+        )
+
+    def _remove_victims(self, victims: DataFrame) -> None:
         if victims.isEmpty():
             return  # unknown ids no-op (reference bm25.py:229-230)
         gen_path = self._next_gen("corpus")

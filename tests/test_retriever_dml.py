@@ -450,3 +450,74 @@ def test_corpus_single_gen_fast_path(retriever):
         r["doc_uid"]: r["text"] for r in retriever.corpus_df().collect()
     }
     assert got["d3"] == "replaced text" and len(got) == 8
+
+
+def test_dataframe_native_ingest_and_delete(spark, tmp_path):
+    """add_documents_df / remove_documents_df — the at-scale ingest
+    surface: rows stay distributed (corpus gen from the DataFrame,
+    embeddings via mapInPandas, victims via semi join) and the
+    results are identical to the list API on the same data."""
+    from pyspark.sql import functions as F
+
+    docs = [
+        (f"u{i:03d}", f"document {i} about topic{i % 5} common", None)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_uid string, text string, meta_json string"
+    )
+
+    r_list = SparkHybridRetriever(spark, str(tmp_path / "list"))
+    r_list.add_documents_batch([t for _, t, _ in docs], [u for u, _, _ in docs])
+    r_df = SparkHybridRetriever(spark, str(tmp_path / "df"))
+    stats = r_df.add_documents_df(df)
+    assert stats["total_documents"] == 20 and stats["mode"] == "dataframe"
+
+    for q in ["topic3 common", "document 7"]:
+        assert r_df.search_bm25(q, top_k=10) == r_list.search_bm25(
+            q, top_k=10
+        ), q
+        assert r_df.search_vector(q, top_k=5) == r_list.search_vector(
+            q, top_k=5
+        ), q
+
+    # upsert through the DataFrame path: re-added id gets fresh
+    # postings, old-only terms vanish
+    up = spark.createDataFrame(
+        [("u003", "replacement zebra text")], "doc_uid string, text string"
+    )
+    r_df.add_documents_df(up)
+    assert r_df._index.n_docs == 20
+    assert [u for u, _ in r_df.search_bm25("zebra", top_k=3)] == ["u003"]
+    assert "u003" not in [
+        u for u, _ in r_df.search_bm25("topic3", top_k=20)
+    ]
+
+    # DataFrame-native bulk delete (extra columns ignored)
+    kill = spark.createDataFrame(
+        [("u000", 1), ("u001", 2), ("unknown", 3)],
+        "doc_uid string, junk int",
+    )
+    r_df.remove_documents_df(kill)
+    assert r_df._index.n_docs == 18
+    assert r_df.corpus_df().filter(
+        F.col("doc_uid").isin(["u000", "u001"])
+    ).count() == 0
+
+    # duplicate uids in one batch collapse to a single row
+    dup = spark.createDataFrame(
+        [("dup1", "aaa"), ("dup1", "bbb")], "doc_uid string, text string"
+    )
+    st = r_df.add_documents_df(dup)
+    assert st["total_documents"] == 1
+
+    # embed=False: no vectors generation lands for the batch
+    r_plain = SparkHybridRetriever(spark, str(tmp_path / "plain"))
+    r_plain.add_documents_df(
+        spark.createDataFrame(
+            [("p1", "bm25 only corpus")], "doc_uid string, text string"
+        ),
+        embed=False,
+    )
+    assert r_plain.vectors_df().count() == 0
+    assert r_plain.search_bm25("bm25 corpus", top_k=3)[0][0] == "p1"
