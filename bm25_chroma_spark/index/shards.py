@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bm25_chroma_spark.config import BM25Config, DEFAULT_CONFIG
-from bm25_chroma_spark.index.encode import encode_postings
+from bm25_chroma_spark.index.encode import encode_postings, varint_encode
 
 SHARD_DDL = (
     "bucket int, term string, segment int, df long, "
@@ -205,6 +205,12 @@ def hash_segment_np(doc_ids, salt_factor: int) -> np.ndarray:
     return (y % np.uint64(salt_factor)).astype(np.int32)
 
 
+_SHARD_COLS = [
+    "bucket", "term", "segment", "df",
+    "doc_bytes", "tf_bytes", "dl_bytes", "blocks",
+]
+
+
 def _merge_encode_bucket_segment(
     pdf: pd.DataFrame, block_size: int
 ) -> pd.DataFrame:
@@ -218,49 +224,150 @@ def _merge_encode_bucket_segment(
     reference's total order (tf desc, doc_id asc), computed globally
     per term by _cap_thresholds — selects exactly the global top-cap
     inside each segment independently, so the cap distributes with no
-    cross-segment coordination at encode time."""
-    out = []
+    cross-segment coordination at encode time.
+
+    WHOLE-SLICE vectorized (r5; bit-identical to per-term
+    encode_postings, pinned by test_merge_encode_matches_per_term):
+    the group's postings flatten into single arrays, ONE lexsort
+    orders them by (term, doc_id), ONE varint_encode pass per stream
+    compresses every term's postings together (per-value encoding —
+    term boundaries are just byte offsets), and block metadata comes
+    from reduceat at block starts. Python then only SLICES bytes per
+    term. The old per-term loop spent ~1.2 ms/term on numpy/pandas
+    call overhead — at 232k terms that was ~60% of the entire build;
+    measured 2.7x faster on the group pass at 100k docs.
+    """
     bucket = int(pdf["bucket"].iloc[0])
     segment = int(pdf["segment"].iloc[0])
     has_thr = "thr_tf" in pdf.columns
-    for term, grp in pdf.groupby("term", sort=False):
-        doc_ids = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in grp["doc_ids"]]
+
+    def _empty() -> pd.DataFrame:
+        # object dtype throughout: a default float64 empty column
+        # breaks Arrow's conversion to binary/list<struct> fields
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="object") for c in _SHARD_COLS}
         )
-        tfs = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in grp["tfs"]]
+
+    codes, uniq_terms = pd.factorize(pdf["term"])
+    lens = np.fromiter(
+        (len(x) for x in pdf["doc_ids"]), dtype=np.int64, count=len(pdf)
+    )
+    flat_code = np.repeat(codes, lens)
+    doc_ids = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]]
+    )
+    tfs = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in pdf["tfs"]]
+    )
+    dls = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in pdf["dls"]]
+    )
+
+    if has_thr:
+        # string-encoded to survive Arrow's nullable-long -> float64
+        # conversion losslessly (see _cap_thresholds); -1 marks
+        # under-cap terms (tf is always >= 1, so -1 never collides)
+        thr_tf_row = np.fromiter(
+            (-1 if pd.isna(x) else int(x) for x in pdf["thr_tf"]),
+            dtype=np.int64, count=len(pdf),
         )
-        dls = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in grp["dls"]]
+        thr_doc_row = np.fromiter(
+            (0 if pd.isna(x) else int(x) for x in pdf["thr_doc"]),
+            dtype=np.int64, count=len(pdf),
         )
-        if has_thr and not pd.isna(grp["thr_tf"].iloc[0]):
-            # string-encoded to survive Arrow's nullable-long ->
-            # float64 conversion losslessly (see _cap_thresholds)
-            thr_tf = int(grp["thr_tf"].iloc[0])
-            thr_doc = int(grp["thr_doc"].iloc[0])
-            keep = (tfs > thr_tf) | (
-                (tfs == thr_tf) & (doc_ids <= thr_doc)
+        capped = np.repeat(thr_tf_row >= 0, lens)
+        t_tf = np.repeat(thr_tf_row, lens)
+        t_doc = np.repeat(thr_doc_row, lens)
+        keep = ~capped | (tfs > t_tf) | (
+            (tfs == t_tf) & (doc_ids <= t_doc)
+        )
+        flat_code = flat_code[keep]
+        doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+
+    n = len(doc_ids)
+    if n == 0:
+        return _empty()
+
+    order = np.lexsort((doc_ids, flat_code))
+    ft = flat_code[order]
+    d = doc_ids[order]
+    tf = tfs[order]
+    dl = dls[order]
+
+    same_term = np.diff(ft) == 0
+    # comparison, NOT subtraction: doc ids span the full int64 range
+    # (xxhash64), where np.diff wraps and a huge positive gap reads
+    # as negative
+    if np.any((d[1:] <= d[:-1]) & same_term):
+        raise ValueError("doc_ids must be strictly increasing")
+
+    term_change = np.flatnonzero(~same_term) + 1
+    term_starts = np.concatenate(([0], term_change))
+    term_ends = np.concatenate((term_change, [n]))
+    term_lens = term_ends - term_starts
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(
+        term_starts, term_lens
+    )
+    block_start = (pos_in_term % block_size) == 0
+
+    deltas = np.empty(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        deltas[1:] = d[1:].view(np.uint64) - d[:-1].view(np.uint64)
+    deltas[block_start] = 0  # restart at every block (and term) start
+
+    doc_bytes_all, doc_lens = varint_encode(deltas)
+    tf_bytes_all, tf_lens = varint_encode(tf.astype(np.uint64))
+    dl_bytes_all, dl_lens = varint_encode(dl.astype(np.uint64))
+    doc_offs = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_offs = np.concatenate(([0], np.cumsum(tf_lens)))
+    dl_offs = np.concatenate(([0], np.cumsum(dl_lens)))
+
+    blk_idx = np.flatnonzero(block_start)
+    blk_ends = np.concatenate((blk_idx[1:], [n]))
+    blk_max_tf = np.maximum.reduceat(tf, blk_idx)
+    blk_min_dl = np.minimum.reduceat(dl, blk_idx)
+    # blocks never straddle terms (every term start is a block
+    # start), so each term owns a contiguous run of blocks
+    blocks_per_term = -(-term_lens // block_size)
+    tb_starts = np.concatenate(
+        ([0], np.cumsum(blocks_per_term)[:-1])
+    )
+
+    rows = []
+    for i in range(len(term_starts)):
+        s, e = int(term_starts[i]), int(term_ends[i])
+        t_doc_off = int(doc_offs[s])
+        t_tf_off = int(tf_offs[s])
+        t_dl_off = int(dl_offs[s])
+        blks = []
+        for j in range(
+            int(tb_starts[i]), int(tb_starts[i] + blocks_per_term[i])
+        ):
+            g0 = int(blk_idx[j])
+            blks.append(
+                {
+                    "first_doc": int(d[g0]),
+                    "n": int(blk_ends[j] - g0),
+                    "max_tf": int(blk_max_tf[j]),
+                    "min_dl": int(blk_min_dl[j]),
+                    "doc_off": int(doc_offs[g0]) - t_doc_off,
+                    "tf_off": int(tf_offs[g0]) - t_tf_off,
+                    "dl_off": int(dl_offs[g0]) - t_dl_off,
+                }
             )
-            doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
-            if doc_ids.size == 0:
-                continue  # this segment holds none of the top-cap
-        order = np.argsort(doc_ids, kind="mergesort")
-        enc = encode_postings(
-            doc_ids[order], tfs[order], dls[order], block_size=block_size
-        )
-        out.append(
+        rows.append(
             {
                 "bucket": bucket,
-                "term": term,
+                "term": uniq_terms[ft[s]],
                 "segment": segment,
-                "df": enc.count,
-                "doc_bytes": enc.doc_bytes,
-                "tf_bytes": enc.tf_bytes,
-                "dl_bytes": enc.dl_bytes,
-                "blocks": enc.blocks,
+                "df": e - s,
+                "doc_bytes": doc_bytes_all[t_doc_off:int(doc_offs[e])],
+                "tf_bytes": tf_bytes_all[t_tf_off:int(tf_offs[e])],
+                "dl_bytes": dl_bytes_all[t_dl_off:int(dl_offs[e])],
+                "blocks": blks,
             }
         )
-    return pd.DataFrame(out)
+    return pd.DataFrame(rows)
 
 
 def _cap_thresholds(partials: DataFrame, cap: int) -> DataFrame:
