@@ -73,34 +73,22 @@ def _config_hash(config: BM25Config) -> str:
 
 
 def _encode_bucket_segment(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """One (bucket, segment) slice -> one shard row per term.
-
-    Vectorized: numpy sort once, then per-term slices feed the codec.
+    """One (bucket, segment) slice of flat (term, doc_id, tf, dl)
+    rows -> one shard row per term (the DML re-encode path). Shares
+    the whole-slice vectorized codec with the build's partials merge
+    (_encode_flat_slice) — one lexsort, one varint pass per stream.
     """
-    out = []
-    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-    bucket = int(pdf["bucket"].iloc[0])
-    segment = int(pdf["segment"].iloc[0])
-    for term, grp in pdf.groupby("term", sort=False):
-        enc = encode_postings(
-            grp["doc_id"].to_numpy(np.int64),
-            grp["tf"].to_numpy(np.int64),
-            grp["dl"].to_numpy(np.int64),
-            block_size=block_size,
-        )
-        out.append(
-            {
-                "bucket": bucket,
-                "term": term,
-                "segment": segment,
-                "df": enc.count,
-                "doc_bytes": enc.doc_bytes,
-                "tf_bytes": enc.tf_bytes,
-                "dl_bytes": enc.dl_bytes,
-                "blocks": enc.blocks,
-            }
-        )
-    return pd.DataFrame(out)
+    codes, uniq_terms = pd.factorize(pdf["term"])
+    return _encode_flat_slice(
+        codes.astype(np.int64),
+        uniq_terms,
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["dl"].to_numpy(np.int64),
+        int(pdf["bucket"].iloc[0]),
+        int(pdf["segment"].iloc[0]),
+        block_size,
+    )
 
 
 # map-side partial postings: one row per (input-partition, term,
@@ -241,13 +229,6 @@ def _merge_encode_bucket_segment(
     segment = int(pdf["segment"].iloc[0])
     has_thr = "thr_tf" in pdf.columns
 
-    def _empty() -> pd.DataFrame:
-        # object dtype throughout: a default float64 empty column
-        # breaks Arrow's conversion to binary/list<struct> fields
-        return pd.DataFrame(
-            {c: pd.Series([], dtype="object") for c in _SHARD_COLS}
-        )
-
     codes, uniq_terms = pd.factorize(pdf["term"])
     lens = np.fromiter(
         (len(x) for x in pdf["doc_ids"]), dtype=np.int64, count=len(pdf)
@@ -283,6 +264,32 @@ def _merge_encode_bucket_segment(
         )
         flat_code = flat_code[keep]
         doc_ids, tfs, dls = doc_ids[keep], tfs[keep], dls[keep]
+
+    return _encode_flat_slice(
+        flat_code, uniq_terms, doc_ids, tfs, dls, bucket, segment,
+        block_size,
+    )
+
+
+def _encode_flat_slice(
+    flat_code: np.ndarray,
+    uniq_terms,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    bucket: int,
+    segment: int,
+    block_size: int,
+) -> pd.DataFrame:
+    """Shared whole-slice codec core (see _merge_encode_bucket_segment
+    for the design): flat posting arrays tagged with term codes ->
+    one shard row per term, byte-identical to per-term
+    encode_postings."""
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="object") for c in _SHARD_COLS}
+        )
 
     n = len(doc_ids)
     if n == 0:
