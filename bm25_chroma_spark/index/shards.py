@@ -117,55 +117,75 @@ def _map_docs_to_partials(n_buckets: int, salt_factor: int):
     """
     import zlib
 
-    from bm25_chroma_spark.functions.tokenizer import tokenize_tf_py
+    from bm25_chroma_spark.functions.tokenizer import tokenize_py
 
     def gen(batches):
+        # Batch-vectorized (r5; content-identical to the original
+        # per-doc Counter/append loop — the accumulation was 57% of
+        # this pass's Python CPU, pinned by
+        # test_map_docs_partials_matches_reference): tokenize stays a
+        # per-doc C regex call, then tf counting is ONE np.unique
+        # over packed (doc, term-code) keys and the per-(term,
+        # segment) partial rows come from grouped slicing of the
+        # sorted arrays — no per-token dict or list work.
         for pdf in batches:
-            acc: dict = {}
-            stat_ids: list = []
-            stat_dls: list = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                pairs = tokenize_tf_py(text)
-                if not pairs:
-                    continue
-                did = int(doc_id)
-                dl = 0
-                for _, tf in pairs:
-                    dl += tf
-                seg = hash_segment(did, salt_factor)
-                for term, tf in pairs:
-                    key = (term, seg)
-                    ent = acc.get(key)
-                    if ent is None:
-                        acc[key] = ent = ([], [], [])
-                    ent[0].append(did)
-                    ent[1].append(tf)
-                    ent[2].append(dl)
-                stat_ids.append(did)
-                stat_dls.append(dl)
-            if not stat_ids:
-                continue
-            rows = [
-                {
-                    "bucket": zlib.crc32(term.encode("utf-8")) % n_buckets,
-                    "term": term,
-                    "segment": seg,
-                    "doc_ids": dids,
-                    "tfs": tfs,
-                    "dls": dls,
-                }
-                for (term, seg), (dids, tfs, dls) in acc.items()
-            ]
-            rows.append(
-                {
-                    "bucket": -1,
-                    "term": "",
-                    "segment": 0,
-                    "doc_ids": stat_ids,
-                    "tfs": [],
-                    "dls": stat_dls,
-                }
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tok_lists = [tokenize_py(t) for t in pdf["text"]]
+            counts = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64,
+                count=len(tok_lists),
             )
+            nz = counts > 0  # empty docs are skipped entirely
+            if not nz.any():
+                continue
+            flat = [tok for ts in tok_lists for tok in ts]
+            doc_idx = np.repeat(
+                np.arange(len(tok_lists), dtype=np.int64), counts
+            )
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            # tf per (doc, term): one sort-based unique over packed
+            # keys (both halves < 2^31 — a 10k-row Arrow batch with
+            # <2^31 distinct tokens by construction)
+            key = (doc_idx << 32) + codes.astype(np.int64)
+            ukey, tf = np.unique(key, return_counts=True)
+            udoc = (ukey >> 32).astype(np.int64)
+            ucode = (ukey & 0xFFFFFFFF).astype(np.int64)
+            did = ids[udoc]
+            dl = counts[udoc]  # dl = post-filter token count
+            seg = hash_segment_np(did, salt_factor).astype(np.int64)
+            # group rows by (term, segment); udoc last keeps each
+            # partial's doc order = batch order, like the append loop
+            order = np.lexsort((udoc, seg, ucode))
+            c = ucode[order]
+            s2 = seg[order]
+            g_did = did[order]
+            g_tf = tf[order].astype(np.int32)
+            g_dl = dl[order].astype(np.int32)
+            change = np.flatnonzero(
+                (np.diff(c) != 0) | (np.diff(s2) != 0)
+            ) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(c)]))
+            term_buckets = np.fromiter(
+                (
+                    zlib.crc32(t.encode("utf-8")) % n_buckets
+                    for t in uniq
+                ),
+                dtype=np.int64, count=len(uniq),
+            )
+            gc = c[starts]
+            rows = {
+                "bucket": term_buckets[gc].tolist() + [-1],
+                "term": uniq[gc].tolist() + [""],
+                "segment": s2[starts].tolist() + [0],
+                "doc_ids": [
+                    g_did[a:b] for a, b in zip(starts, ends)
+                ] + [ids[nz]],
+                "tfs": [g_tf[a:b] for a, b in zip(starts, ends)]
+                + [np.zeros(0, dtype=np.int32)],
+                "dls": [g_dl[a:b] for a, b in zip(starts, ends)]
+                + [counts[nz].astype(np.int32)],
+            }
             yield pd.DataFrame(rows)
 
     return gen

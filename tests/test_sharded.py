@@ -471,3 +471,86 @@ def test_auto_mixed_batch_union_matches_exhaustive(
     for k in e:
         assert m[k][0] == e[k][0], k
         assert math.isclose(m[k][1], e[k][1], rel_tol=1e-9), k
+
+
+def test_map_docs_partials_matches_reference():
+    """The r5 batch-vectorized partials pass must produce exactly the
+    same partial rows (term/bucket/segment and per-row arrays in the
+    same order, plus the doc-stat sentinel) as the original per-doc
+    Counter/append loop, including empty/None texts, duplicate
+    tokens, and negative xxhash64-style doc ids."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from bm25_chroma_spark.functions.tokenizer import tokenize_tf_py
+    from bm25_chroma_spark.index.shards import (
+        _map_docs_to_partials,
+        hash_segment,
+    )
+
+    def reference(pdf, n_buckets, salt_factor):
+        acc, stat_ids, stat_dls = {}, [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            pairs = tokenize_tf_py(text)
+            if not pairs:
+                continue
+            did = int(doc_id)
+            dl = sum(tf for _, tf in pairs)
+            seg = hash_segment(did, salt_factor)
+            for term, tf in pairs:
+                ent = acc.setdefault((term, seg), ([], [], []))
+                ent[0].append(did)
+                ent[1].append(tf)
+                ent[2].append(dl)
+            stat_ids.append(did)
+            stat_dls.append(dl)
+        rows = {
+            (term, seg): (
+                zlib.crc32(term.encode()) % n_buckets, dids, tfs, dls
+            )
+            for (term, seg), (dids, tfs, dls) in acc.items()
+        }
+        return rows, stat_ids, stat_dls
+
+    rng = np.random.RandomState(17)
+    vocab = ["def", "import", "the", "zz"] + [f"w{i}" for i in range(40)]
+    texts, ids = [], []
+    for i in range(200):
+        if i % 23 == 0:
+            texts.append("" if i % 2 else None)
+        else:
+            texts.append(
+                " ".join(rng.choice(vocab, size=rng.randint(1, 60)))
+            )
+        ids.append(int(rng.randint(-(2**62), 2**62)))
+    pdf = pd.DataFrame({"doc_id": ids, "text": texts})
+
+    got = list(_map_docs_to_partials(8, 4)(iter([pdf])))
+    assert len(got) == 1
+    out = got[0]
+    sent = out[out["bucket"] == -1]
+    assert len(sent) == 1
+    want_rows, want_ids, want_dls = reference(pdf, 8, 4)
+    s = sent.iloc[0]
+    assert list(s["doc_ids"]) == want_ids
+    assert list(s["dls"]) == want_dls
+    assert len(list(s["tfs"])) == 0
+
+    data = out[out["bucket"] >= 0]
+    got_rows = {
+        (r["term"], r["segment"]): (
+            r["bucket"], list(r["doc_ids"]), list(r["tfs"]),
+            list(r["dls"]),
+        )
+        for _, r in data.iterrows()
+    }
+    assert set(got_rows) == set(want_rows)
+    for k, (b, dids, tfs, dls) in want_rows.items():
+        gb, gd, gt, gl = got_rows[k]
+        assert gb == b and gd == dids and gt == tfs and gl == dls, k
+
+    # an all-empty batch yields nothing at all
+    empty = pd.DataFrame({"doc_id": [1, 2], "text": [None, ""]})
+    assert list(_map_docs_to_partials(8, 4)(iter([empty]))) == []
