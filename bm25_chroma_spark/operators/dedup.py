@@ -262,14 +262,14 @@ def make_simhash64_udf(token_hash: str = "blake2b"):
         )
         offsets = np.zeros(len(texts), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
-        # reduceat quirk: an empty segment (off[i] == off[i+1], or a
-        # trailing offset past the end, clipped below) returns a
-        # single neighbor row instead of zero — those docs are fixed
-        # up via the counts==0 mask after the fact
-        votes = np.add.reduceat(
-            contrib, np.minimum(offsets, len(flat) - 1), axis=0
-        )
-        votes[counts == 0] = 0
+        # reduceat only over NON-EMPTY docs' offsets, scattered back:
+        # those offsets are strictly increasing and < len(flat), so no
+        # clipping is needed. (Clipping a trailing empty doc's offset
+        # to len(flat)-1 would silently truncate the PRECEDING doc's
+        # vote segment, dropping its last token.)
+        valid = np.flatnonzero(counts > 0)
+        votes = np.zeros((len(texts), 64), dtype=contrib.dtype)
+        votes[valid] = np.add.reduceat(contrib, offsets[valid], axis=0)
         sig = (
             ((votes > 0).astype(np.uint64) << shifts[None, :])
             .sum(axis=1, dtype=np.uint64)

@@ -317,6 +317,8 @@ def _centroid_sums_arrow(assigned: DataFrame, dim: int) -> list:
     def partials(batches):
         acc: dict = {}
         for pdf in batches:
+            if not len(pdf):  # empty Arrow batch: np.stack would raise
+                continue
             cells = pdf["cell"].to_numpy()
             M = np.stack(pdf["vec"].to_numpy())
             for c in np.unique(cells):

@@ -578,6 +578,42 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_STORE_CACHE: Dict[str, str] = {}
 
 
+def q_ann_ivf_trained0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED-quantizer plumbing under a hash-checked oracle
+    (VERDICT r5 #2): ``ivf_train_centroids(..., n_iters=0)`` — whose
+    equality with the medoid seeds is separately pinned by
+    test_ivf_trainer_degenerate_and_numpy_lloyd_parity — feeds
+    explicit centroids into ``knn_ivf`` exactly like the production
+    trained path, with the centroids rounded to ROUND decimals
+    (+0.0 canonicalizes IEEE -0.0). Every float op downstream is the
+    same left-fold expression the SQL oracle mirrors, so this entry
+    hash-matches DuckDB while exercising the explicit-centroid code
+    path end to end (the 2-iteration trainer itself stays under the
+    rows-only ann_ivf_trained entry + the in-repo numpy-Lloyd parity
+    test — its centroid floats depend on distributed summation order
+    and are not single-pass-SQL expressible)."""
+    from bm25_chroma_spark.operators.knn import ivf_train_centroids, knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_train_centroids(emb, IVF_CELLS, n_iters=0)
+    centroids = [[round(x, ROUND) + 0.0 for x in c] for c in centroids]
+    res = knn_ivf(
+        emb,
+        _knn_query_vecs(spark, sf_dir),
+        k=KNN_K,
+        n_cells=IVF_CELLS,
+        nprobe=IVF_NPROBE,
+        centroids=centroids,
+        score_round=ROUND,
+    )
+    return res.select(
+        "query_id",
+        "vec_id",
+        (F.col("dist") + F.lit(0.0)).alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over the MATERIALIZED inverted file: the embeddings table
     is written once partitioned by cell (ivf_write_partitioned,
@@ -932,12 +968,19 @@ SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= {KNN_K}
 _ORACLES["knn_topk"] = _knn_oracle()
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(round_centroids: bool = False) -> str:
     """IVF mirrored in SQL: same medoid-seed centroids (the IVF_CELLS
     smallest-id vectors), same (dist asc, cid asc) cell assignment,
     same IVF_NPROBE query-side probing, same round-before-rank rerank.
     Distances use list_dot_product (left fold) exactly like the Spark
-    side's F.aggregate, so assignments tie-break identically."""
+    side's F.aggregate, so assignments tie-break identically.
+
+    With ``round_centroids`` the centroid vectors are rounded to
+    ``ROUND`` decimals element-wise (+0.0 to kill IEEE -0.0) — this
+    mirrors ann_ivf_trained0's trained-quantizer contract, where the
+    Spark side publishes ``ivf_train_centroids(..., n_iters=0)``
+    output through the same rounding (DuckDB round == Python round
+    verified over every fixture value at all three SFs)."""
     qsel = ", ".join(str(i) for i in KNN_QUERY_IDS)
     case = " ".join(
         f"WHEN {v} THEN {i}" for i, v in enumerate(KNN_QUERY_IDS)
@@ -950,10 +993,16 @@ def _ivf_oracle() -> str:
             f" * sqrt(list_dot_product({b}, {b})))"
         )
 
+    cvec_expr = "embedding::DOUBLE[]"
+    if round_centroids:
+        cvec_expr = (
+            f"list_transform(embedding::DOUBLE[],"
+            f" x -> round(x, {ROUND}) + 0.0)"
+        )
     return f"""
 WITH c AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-         embedding::DOUBLE[] AS cvec
+         {cvec_expr} AS cvec
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -999,6 +1048,7 @@ SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= {KNN_K}
 
 
 _ORACLES["ann_ivf"] = _ivf_oracle()
+_ORACLES["ann_ivf_trained0"] = _ivf_oracle(round_centroids=True)
 
 _ORACLES["embedding_dups"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1353,6 +1403,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_trained0": q_ann_ivf_trained0,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "rrf_hybrid": q_rrf_hybrid,
         # relational showcase

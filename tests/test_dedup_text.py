@@ -499,3 +499,42 @@ def test_simhash_udf_vectorized_parity(spark):
         }
         for i, t in enumerate(texts):
             assert got[i] == naive(t, th), (variant, i, t)
+
+
+def test_simhash_udf_trailing_empty_docs_single_partition(spark):
+    """A non-empty doc whose Arrow batch ENDS with empty/None rows
+    must keep its full vote segment — the r5 vectorization clipped
+    the trailing offsets to len(flat)-1, silently dropping the
+    preceding doc's LAST token (repro: ['a b c d e', '', None]).
+    repartition(1) pins all three rows into one Arrow batch."""
+    import hashlib
+
+    from bm25_chroma_spark.operators.dedup import make_simhash64_udf
+
+    def naive_blake2b(text):
+        if not text:
+            return 0
+        votes = [0] * 64
+        for tok in str(text).lower().split():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                "big",
+            )
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if votes[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    texts = ["w x y z", "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    ).repartition(1)
+    got = {
+        r["i"]: r["sig"]
+        for r in df.select(
+            "i",
+            make_simhash64_udf("blake2b")(F.col("text")).alias("sig"),
+        ).collect()
+    }
+    assert got[0] == naive_blake2b("w x y z")
+    assert got[1] == 0 and got[2] == 0
