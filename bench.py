@@ -82,6 +82,30 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         search_sharded(sharded, q, top_k=10, strategy="exhaustive").collect()
         timings[f"q{qid}"] = time.time() - t0
 
+    # 3b. cached interactive path (r6): strategy='auto' serves small
+    # queries from the driver-resident postings LRU — cold pays ONE
+    # bucket-pruned collect instead of the scan+decode+shuffle
+    # pipeline, warm launches no Spark job at all. Key names must NOT
+    # start with "q" (main() folds q* into the flagship p95).
+    sharded_cache = ShardedIndex(spark, out)
+    cold_lat: list = []
+    warm_lat: list = []
+    for lat in (cold_lat, warm_lat):
+        for qid, qtext in FLAGSHIP_QUERIES:
+            t0 = time.time()
+            search_sharded(
+                sharded_cache, [(qid, qtext)], top_k=10, strategy="auto"
+            ).collect()
+            lat.append(time.time() - t0)
+
+    def _p95(xs: list) -> float:
+        xs = sorted(xs)
+        return xs[max(0, int(len(xs) * 0.95) - 1)] if xs else 0.0
+
+    timings["cached_q_cold_p95"] = _p95(cold_lat)
+    timings["cached_q_warm_p95"] = _p95(warm_lat)
+    timings["cached_q_warm_total"] = sum(warm_lat)
+
     # 4. batched passes: all queries in one job, both strategies
     allq = spark.createDataFrame(
         FLAGSHIP_QUERIES, "query_id long, query_text string"
@@ -187,19 +211,29 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     wcorpus.selectExpr(
         "xxhash64(repo, path, commit) as doc_id", "content as text"
     ).write.mode("overwrite").parquet(sim_src)
-    sim_probe = (
-        spark.read.parquet(sim_src)
-        .select(
-            F.bit_count(
-                make_simhash64_udf("blake2b")(F.col("text"))
-            ).alias("b")
+    def sim_probe():
+        # fresh plan per pass: re-collecting the SAME DataFrame lets
+        # the DAGScheduler skip the already-materialized shuffle map
+        # stage — which contains the UDF — so r5's committed 0.031s
+        # timed only the final reduce (VERDICT r5 'What's wrong' #1).
+        # A new plan gets new RDD ids and recomputes the full pass.
+        return (
+            spark.read.parquet(sim_src)
+            .select(
+                F.bit_count(
+                    make_simhash64_udf("blake2b")(F.col("text"))
+                ).alias("b")
+            )
+            .agg(F.sum("b"))
         )
-        .agg(F.sum("b"))
-    )
-    sim_probe.collect()  # warm
-    t0 = time.time()
-    sim_probe.collect()
-    timings["simhash_100k"] = time.time() - t0
+
+    sim_probe().collect()  # warm: Python workers + codegen JIT
+    sim_trials = []
+    for _ in range(3):
+        t0 = time.time()
+        sim_probe().collect()
+        sim_trials.append(time.time() - t0)
+    timings["simhash_100k"] = sorted(sim_trials)[1]  # median of 3
     shutil.rmtree(sim_src, ignore_errors=True)
 
     # 7. WAND WIN regime: 1M tiny docs where block skipping ENGAGES —

@@ -42,7 +42,7 @@ import math
 import time
 from dataclasses import asdict
 from pathlib import Path
-from typing import Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -774,6 +774,15 @@ class ShardedIndex:
         # auto routing; DML moves dfs, so it lives and dies with the
         # scan cache
         self._df_cache: dict = {}
+        # bounded LRU of driver-resident posting rows (see
+        # postings_rows): repeat interactive queries against an
+        # unchanged generation skip the parquet scan + decode job
+        # entirely. Cleared here AND generation-tagged per entry so a
+        # stale handle can never serve rows across a DML generation.
+        from collections import OrderedDict
+
+        self._postings_cache: "OrderedDict" = OrderedDict()
+        self._postings_cache_used: int = 0
         return self
 
     def _scan(self, key, make) -> DataFrame:
@@ -902,6 +911,95 @@ class ShardedIndex:
         if cap:
             agg = agg.withColumn("df", F.least(F.col("df"), F.lit(cap)))
         return agg
+
+    # ---- driver-resident postings cache (warm interactive path) ----
+    #
+    # A single interactive query at any corpus size pays the full
+    # Spark job floor (scan + mapInPandas decode + 2 shuffles +
+    # window ≈ 1.2-2.0 s at sf0.1) where the reference answers from an
+    # in-memory dict. The classic search-engine answer is a bounded
+    # hot-term cache: keep the COMPRESSED posting rows of recently
+    # queried terms on the driver and run the exact Block-Max WAND
+    # DAAT loop locally (index/wand.py _run_local) — identical
+    # results (WAND is rank-safe exact, and the local path shares the
+    # cursors/heap verbatim), zero Spark jobs when warm. Terms whose
+    # df exceeds the caller's postings budget are never fetched, so
+    # hot 100 TB terms keep their distributed path; the budget bounds
+    # driver memory, LRU keeps it hot, and every entry carries the
+    # index generation so DML can never be served stale rows.
+    postings_cache_bytes: int = 256 << 20
+
+    def postings_rows(self, terms: List[str]) -> Dict[str, list]:
+        """Driver-side posting rows per term (one row per live
+        (term, segment) after the DML overlay), served from the LRU
+        cache when the entry's generation matches, fetched with ONE
+        bucket-pruned collect otherwise. Unknown terms cache as empty
+        lists so they never re-trigger a job."""
+        gen = self.generation
+        cache = self._postings_cache
+        out: Dict[str, list] = {}
+        missing: List[str] = []
+        for t in terms:
+            hit = cache.get(t)
+            if hit is not None and hit[0] == gen:
+                cache.move_to_end(t)
+                out[t] = hit[2]
+            else:
+                missing.append(t)
+        if missing:
+            fetched: Dict[str, list] = {t: [] for t in missing}
+            for r in self.shards_for_terms(missing).collect():
+                fetched[r["term"]].append(
+                    _CachedShardRow(
+                        term=r["term"],
+                        segment=int(r["segment"]),
+                        df=int(r["df"]),
+                        doc_bytes=bytes(r["doc_bytes"]),
+                        tf_bytes=bytes(r["tf_bytes"]),
+                        dl_bytes=bytes(r["dl_bytes"]),
+                        blocks=tuple(b.asDict() for b in r["blocks"]),
+                    )
+                )
+            for t, rows in fetched.items():
+                nbytes = sum(
+                    len(x.doc_bytes) + len(x.tf_bytes) + len(x.dl_bytes)
+                    + 64 * len(x.blocks) + 128
+                    for x in rows
+                ) + 64
+                old = cache.pop(t, None)
+                if old is not None:
+                    self._postings_cache_used -= old[1]
+                if nbytes <= self.postings_cache_bytes:
+                    cache[t] = (gen, nbytes, rows)
+                    self._postings_cache_used += nbytes
+                while (
+                    self._postings_cache_used > self.postings_cache_bytes
+                    and cache
+                ):
+                    _, (_, nb, _) = cache.popitem(last=False)
+                    self._postings_cache_used -= nb
+                out[t] = rows
+        return out
+
+
+class _CachedShardRow:
+    """Plain driver-side shard row; attribute layout matches what
+    index/wand.py's _Cursor reads off Arrow itertuples rows."""
+
+    __slots__ = (
+        "term", "segment", "df", "doc_bytes", "tf_bytes", "dl_bytes",
+        "blocks",
+    )
+
+    def __init__(self, term, segment, df, doc_bytes, tf_bytes, dl_bytes,
+                 blocks):
+        self.term = term
+        self.segment = segment
+        self.df = df
+        self.doc_bytes = doc_bytes
+        self.tf_bytes = tf_bytes
+        self.dl_bytes = dl_bytes
+        self.blocks = blocks
 
 
 def _groups(base: Path) -> int:

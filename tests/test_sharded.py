@@ -363,12 +363,97 @@ def test_auto_strategy_rule():
 
 
 def test_auto_strategy_results_identical(spark, shard_dir, queries_df):
+    """auto (which may serve the driver-local cached DAAT for small
+    queries) must match exhaustive: rank/doc identity exactly, scores
+    to rel_tol like the wand-vs-exhaustive contract — float summation
+    order differs between a DAAT term-order sum and the distributed
+    shuffle-order agg for 3+-term queries."""
+    idx = ShardedIndex(spark, shard_dir)
+    a = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in search_sharded(
+            idx, queries_df, top_k=10, strategy="auto"
+        ).collect()
+    }
+    e = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in search_sharded(
+            idx, queries_df, top_k=10, strategy="exhaustive"
+        ).collect()
+    }
+    assert set(a) == set(e)
+    for k in a:
+        assert a[k][0] == e[k][0], (k, a[k], e[k])
+        assert math.isclose(a[k][1], e[k][1], rel_tol=1e-9), k
+
+
+def test_postings_cache_warm_identical_and_bounded(
+    spark, shard_dir, queries_df
+):
+    """The cached driver-local path: first auto call populates the
+    generation-tagged LRU, the warm repeat serves from it with
+    identical results, use_cache=False bypasses it, and the byte
+    budget evicts LRU entries instead of growing unboundedly."""
     idx = ShardedIndex(spark, shard_dir)
     a = search_sharded(idx, queries_df, top_k=10, strategy="auto").collect()
-    e = search_sharded(
-        idx, queries_df, top_k=10, strategy="exhaustive"
+    assert idx._postings_cache  # populated (small fixture fits)
+    used0 = idx._postings_cache_used
+    assert 0 < used0 <= idx.postings_cache_bytes
+    b = search_sharded(idx, queries_df, top_k=10, strategy="auto").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert idx._postings_cache_used == used0  # warm: no growth
+    c = search_sharded(
+        idx, queries_df, top_k=10, strategy="auto", use_cache=False
     ).collect()
-    assert {tuple(r) for r in a} == {tuple(r) for r in e}
+    got = {(r[0], r[3]): r[1] for r in map(tuple, c)}
+    want = {(r[0], r[3]): r[1] for r in map(tuple, a)}
+    assert got == want
+    # a tiny budget forces eviction down to at most the budget
+    idx.refresh()
+    idx.postings_cache_bytes = 1  # every entry evicts immediately
+    search_sharded(idx, queries_df, top_k=10, strategy="auto").collect()
+    assert idx._postings_cache_used <= 1 and not idx._postings_cache
+
+
+def test_postings_cache_not_served_across_generations(
+    spark, docs_df, queries_df, tmp_path_factory
+):
+    """DML bumps the generation; a warm cache must never serve the
+    pre-DML rows (VERDICT r6 gate). refresh() clears the cache AND
+    entries are generation-tagged, so even a handle whose cache dict
+    survived cannot cross generations."""
+    from bm25_chroma_spark.index.dml import apply_dml
+
+    out = str(tmp_path_factory.mktemp("index") / "cache_gen_v1")
+    build_sharded_index(docs_df, out, config=CFG, bucket_groups=2)
+    idx = ShardedIndex(spark, out)
+    before = search_sharded(
+        idx, queries_df, top_k=10, strategy="auto"
+    ).collect()
+    assert idx._postings_cache
+    stale = dict(idx._postings_cache)  # simulate a stale handle
+
+    rows = docs_df.orderBy("doc_id").limit(25).collect()
+    old = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    apply_dml(spark, out, delete_docs=old)
+    idx.refresh()
+    assert not idx._postings_cache  # refresh cleared it
+    # adversarial: put the stale entries back; the generation tag
+    # must still force a re-fetch
+    idx._postings_cache.update(stale)
+    after = search_sharded(
+        idx, queries_df, top_k=10, strategy="auto"
+    ).collect()
+    deleted = {r["doc_id"] for r in rows}
+    assert all(r["doc_id"] not in deleted for r in after)
+    fresh = ShardedIndex(spark, out)
+    ref = search_sharded(
+        fresh, queries_df, top_k=10, strategy="auto"
+    ).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, ref))
+    assert sorted(map(tuple, after)) != sorted(map(tuple, before))
 
 
 def test_df_cache_reused_and_invalidated(spark, shard_dir, queries_df):
