@@ -142,6 +142,28 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     t0 = time.time()
     retr.query(fq, n_results=10)
     timings["facade_query_hybrid"] = time.time() - t0
+
+    # 4c. DataFrame-out batch surface (query_df, r6): 1k queries in
+    # one distributed job set, results never collected to the driver
+    # (noop sink). The offline-evaluation shape — |Q| x k stays
+    # distributed where query() would build |Q| Chroma dicts.
+    from pyspark.sql import functions as _F  # noqa: F401
+
+    qdf1k = spark.createDataFrame(
+        [
+            (i, FLAGSHIP_QUERIES[i % len(FLAGSHIP_QUERIES)][1])
+            for i in range(1000)
+        ],
+        "query_id long, query_text string",
+    )
+    retr.query_df(qdf1k, n_results=10).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    t0 = time.time()
+    retr.query_df(qdf1k, n_results=10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["query_df_1k"] = time.time() - t0
     shutil.rmtree(fac_dir, ignore_errors=True)
 
     # 5. synthetic corpus: generation timed separately from the build

@@ -36,7 +36,19 @@ def _norm(a):
     )
 
 
-def _queries_df(spark, query_vecs: Sequence[Sequence[float]]) -> DataFrame:
+def _queries_df(spark, query_vecs) -> DataFrame:
+    """Query-vector side as a DataFrame. Accepts either a plain
+    sequence of vectors (query_id = position, the interactive form)
+    or an existing DataFrame with (query_id, <vec>) columns — the
+    batch/offline form (query_df), where caller-assigned ids must
+    survive."""
+    if isinstance(query_vecs, DataFrame):
+        cols = query_vecs.columns
+        vec_col = cols[1] if cols[0] == "query_id" else cols[0]
+        return query_vecs.select(
+            F.col("query_id").cast("long"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)]
     return spark.createDataFrame(rows, "query_id long, qvec array<double>")
 
@@ -672,17 +684,30 @@ def knn_ivf(
         Cn = C / np.maximum(
             np.linalg.norm(C, axis=1, keepdims=True), 1e-300
         )
-        Q = np.asarray(
-            [[float(x) for x in v] for v in query_vecs], dtype=np.float64
-        )
+        if isinstance(query_vecs, DataFrame):
+            # batch/offline form: query vectors arrive as a DataFrame;
+            # probe selection is driver-side numpy on this path, and
+            # query sets are small relative to the corpus by contract
+            qrows = q.collect()
+            qids = [int(r["query_id"]) for r in qrows]
+            Q = np.asarray(
+                [[float(x) for x in r["qvec"]] for r in qrows],
+                dtype=np.float64,
+            )
+        else:
+            qids = list(range(len(query_vecs)))
+            Q = np.asarray(
+                [[float(x) for x in v] for v in query_vecs],
+                dtype=np.float64,
+            )
         Qn = Q / np.maximum(
             np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
         )
         order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")
         probe_rows = [
             (qid, int(cell))
-            for qid in range(len(query_vecs))
-            for cell in order[qid, :nprobe]
+            for pos, qid in enumerate(qids)
+            for cell in order[pos, :nprobe]
         ]
         probes = spark.createDataFrame(
             probe_rows, "query_id long, cell int"

@@ -521,3 +521,54 @@ def test_dataframe_native_ingest_and_delete(spark, tmp_path):
     )
     assert r_plain.vectors_df().count() == 0
     assert r_plain.search_bm25("bm25 corpus", top_k=3)[0][0] == "p1"
+
+
+def test_query_df_matches_query(retriever):
+    """query_df (the DataFrame-out batch surface, r6) must reproduce
+    query() per query: same uids in the same rank order and the same
+    distances — RRF sums have exactly two parts, so the distributed
+    groupBy sum is bit-exact against rrf_fuse_py — including the
+    vector-only fallback for a query with no known BM25 terms."""
+    docs = [f"term{i} alpha beta doc number {i}" for i in range(12)]
+    retriever.add_documents_batch(docs, [f"d{i}" for i in range(12)])
+    texts = ["alpha beta", "term3 doc", "zzz qqq unknowntoken"]
+    want = retriever.query(texts, n_results=4, include=["distances"])
+    got_rows = retriever.query_df(texts, n_results=4).collect()
+    got: dict = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_uid"], r["distance"])
+        )
+    for qi in range(len(texts)):
+        gl = got.get(qi, [])
+        assert [u for u, _ in gl] == want["ids"][qi], qi
+        for (u, gd), wd in zip(gl, want["distances"][qi]):
+            assert math.isclose(gd, wd, rel_tol=0.0, abs_tol=1e-12), (qi, u)
+    for r in got_rows:
+        assert math.isclose(
+            r["score"] + r["distance"], 1.0, abs_tol=1e-12
+        )
+        assert 1 <= r["rank"] <= 4
+
+
+def test_query_df_dataframe_input_and_bm25_only(spark, tmp_path):
+    """Caller-assigned query ids survive query_df, and an index with
+    no vector leg (vectors wiped) falls back to raw BM25 scores."""
+    r = SparkHybridRetriever(spark, str(tmp_path / "qdf_state"))
+    r.add_documents_batch(
+        ["spark engine shuffles data", "pandas frames in memory",
+         "spark pandas interop layer"],
+        ["s", "p", "i"],
+    )
+    qdf = spark.createDataFrame(
+        [(100, "spark data"), (200, "pandas memory")],
+        "query_id long, query_text string",
+    )
+    out = r.query_df(qdf, n_results=3).collect()
+    assert {row["query_id"] for row in out} == {100, 200}
+    ref = r.query(["spark data", "pandas memory"], n_results=3)
+    by_q: dict = {}
+    for row in sorted(out, key=lambda x: (x["query_id"], x["rank"])):
+        by_q.setdefault(row["query_id"], []).append(row["doc_uid"])
+    assert by_q[100] == ref["ids"][0]
+    assert by_q[200] == ref["ids"][1]
