@@ -102,7 +102,9 @@ _PARTIAL_DDL = (
 )
 
 
-def _map_docs_to_partials(n_buckets: int, salt_factor: int):
+def _map_docs_to_partials(
+    n_buckets: int, salt_factor: int, pretokenized: bool = False
+):
     """ONE mapInPandas pass: raw (doc_id, text) -> per-(term, segment)
     partial posting arrays PLUS doc-stat sentinel rows.
 
@@ -110,6 +112,17 @@ def _map_docs_to_partials(n_buckets: int, salt_factor: int):
     stage matters: chained Arrow/python stages in one task pipeline
     (UDF -> JVM -> UDF) measurably anti-scale under high parallelism,
     while a single python stage scales with cores.
+
+    ``pretokenized``: the input 'text' column already holds token
+    ARRAYS (e.g. produced JVM-side by functions.tokenizer.sql_tokens).
+    Measured r6 (scripts/proto_tokenize_jvm.py, BENCH/r6_notes.md #4):
+    the JVM regex alone is ~4x cheaper than the per-doc Python call,
+    but shipping the token arrays through the task-local Arrow
+    transfer erases the win — the hybrid ties the pure-Python pass —
+    so the build keeps the single-Python-stage default (which also
+    keeps Python \\b unicode semantics). The parameter stays for the
+    prototype harness and for callers that already HAVE tokenized
+    arrays.
 
     Sentinel rows (bucket = -1, term = '') carry each batch's
     (doc_ids, dls) arrays so doc stats come out of the same pass —
@@ -130,7 +143,12 @@ def _map_docs_to_partials(n_buckets: int, salt_factor: int):
         # sorted arrays — no per-token dict or list work.
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            tok_lists = [tokenize_py(t) for t in pdf["text"]]
+            if pretokenized:
+                tok_lists = [
+                    t if t is not None else [] for t in pdf["text"]
+                ]
+            else:
+                tok_lists = [tokenize_py(t) for t in pdf["text"]]
             counts = np.fromiter(
                 (len(t) for t in tok_lists), dtype=np.int64,
                 count=len(tok_lists),

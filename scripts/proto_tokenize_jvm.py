@@ -99,6 +99,26 @@ def main() -> None:
             F.size(sql_tokens(F.col("text"))).alias("n")
         ).agg(F.sum("n")).collect()
 
+    def jvm_hybrid_pack():
+        # the explode-free candidate: JVM tokenize feeds the SAME
+        # Python packing stage (pretokenized=True) — no extra shuffle,
+        # token arrays ride the task-local Arrow transfer
+        (
+            docs.select(
+                "doc_id", sql_tokens(F.col("text")).alias("text")
+            )
+            .mapInPandas(
+                _map_docs_to_partials(
+                    cfg.num_term_buckets, cfg.salt_factor,
+                    pretokenized=True,
+                ),
+                schema=_PARTIAL_DDL,
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
     # correctness cross-check on a sample (ASCII corpus)
     from collections import Counter
 
@@ -131,6 +151,7 @@ def main() -> None:
         "python_partials_sec": timed(python_partials),
         "jvm_explode_agg_sec": timed(jvm_explode_agg),
         "jvm_tokenize_only_sec": timed(jvm_tokenize_only),
+        "jvm_hybrid_pack_sec": timed(jvm_hybrid_pack),
     }
     print(json.dumps(res))
 

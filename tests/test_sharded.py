@@ -639,3 +639,51 @@ def test_map_docs_partials_matches_reference():
     # an all-empty batch yields nothing at all
     empty = pd.DataFrame({"doc_id": [1, 2], "text": [None, ""]})
     assert list(_map_docs_to_partials(8, 4)(iter([empty]))) == []
+
+
+def test_map_docs_partials_pretokenized_parity():
+    """pretokenized=True (token arrays in the 'text' column, e.g. from
+    the JVM sql_tokens expression) must produce byte-identical partial
+    rows to the default tokenize path on the same docs, including
+    None/empty arrays (prototype harness contract —
+    BENCH/r6_notes.md #4)."""
+    import numpy as np
+    import pandas as pd
+
+    from bm25_chroma_spark.functions.tokenizer import tokenize_py
+    from bm25_chroma_spark.index.shards import _map_docs_to_partials
+
+    rng = np.random.RandomState(5)
+    vocab = ["def", "import", "zz", "naïve"] + [
+        f"tok{i}" for i in range(30)
+    ]
+    texts, ids = [], []
+    for i in range(120):
+        if i % 17 == 0:
+            texts.append(None if i % 2 else "")
+        else:
+            texts.append(
+                " ".join(rng.choice(vocab, size=rng.randint(1, 40)))
+            )
+        ids.append(int(rng.randint(-(2**62), 2**62)))
+    pdf = pd.DataFrame({"doc_id": ids, "text": texts})
+    toks = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [
+                np.asarray(tokenize_py(t), dtype=object) for t in texts
+            ],
+        }
+    )
+    a = list(_map_docs_to_partials(8, 4)(iter([pdf])))
+    b = list(
+        _map_docs_to_partials(8, 4, pretokenized=True)(iter([toks]))
+    )
+    assert len(a) == len(b) == 1
+    pa, pb = a[0], b[0]
+    assert len(pa) == len(pb)
+    for col in ("bucket", "term", "segment"):
+        assert pa[col].tolist() == pb[col].tolist(), col
+    for col in ("doc_ids", "tfs", "dls"):
+        for x, y in zip(pa[col], pb[col]):
+            assert list(x) == list(y), col
