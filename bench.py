@@ -163,7 +163,9 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     retr.query_df(qdf1k, n_results=10).write.format("noop").mode(
         "overwrite"
     ).save()
-    timings["query_df_1k"] = time.time() - t0
+    # key must not start with "q": main() folds q* into the flagship
+    # p95/total (the first committed run of this key learned that)
+    timings["eval_query_df_1k"] = time.time() - t0
     shutil.rmtree(fac_dir, ignore_errors=True)
 
     # 5. synthetic corpus: generation timed separately from the build
@@ -462,7 +464,10 @@ def main() -> None:
 
     res = run_workload(CPUS, SF_DIR, SYNTH_FILES)
     t = res["timings"]
-    qlat = sorted(v for k, v in t.items() if k.startswith("q"))
+    qlat = sorted(
+        v for k, v in t.items()
+        if k.startswith("q") and k[1:].isdigit()
+    )
     total = sum(qlat)
     p95 = qlat[max(0, int(len(qlat) * 0.95) - 1)] if qlat else 0.0
     out = {

@@ -444,8 +444,26 @@ def _run_local_daat(
         idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
         by_qid[qid].append((term, idf * float(qtf)))
     schema = "query_id long, doc_id long, score double, rank int"
+
+    def _result_df(rows: List[tuple]) -> DataFrame:
+        # Arrow-backed local relation: a plain-list createDataFrame
+        # pays a ~0.28s pickling collect path PER CALL (measured r6),
+        # the pandas/Arrow one ~15ms — this is most of the warm-path
+        # floor
+        pdf = pd.DataFrame(
+            {
+                "query_id": pd.Series(
+                    [r[0] for r in rows], dtype="int64"
+                ),
+                "doc_id": pd.Series([r[1] for r in rows], dtype="int64"),
+                "score": pd.Series([r[2] for r in rows], dtype="float64"),
+                "rank": pd.Series([r[3] for r in rows], dtype="int32"),
+            }
+        )
+        return spark.createDataFrame(pdf, schema=schema)
+
     if not by_qid:
-        return spark.createDataFrame([], schema)
+        return _result_df([])
     terms = sorted({t for tw in by_qid.values() for t, _ in tw})
     rows_map = index.postings_rows(terms)
     seg_rows: dict = {}
@@ -469,7 +487,7 @@ def _run_local_daat(
         cand.sort(key=lambda ds: (-ds[1], ds[0]))
         for rank, (d, s) in enumerate(cand[:top_k], 1):
             out_rows.append((qid, int(d), float(s), rank))
-    return spark.createDataFrame(out_rows, schema)
+    return _result_df(out_rows)
 
 
 def search_sharded(
@@ -531,8 +549,24 @@ def search_sharded(
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score double, rank int"
         )
-    shards = index.shards_for_terms(terms)
     n, avgdl = float(index.n_docs), float(index.avgdl)
+
+    # scan-plan construction is deferred: building the bucket-pruned
+    # overlay costs a gen-dir glob + plan assembly on the driver,
+    # which the fully-warm cached path never needs
+    _memo: dict = {}
+
+    def get_shards() -> DataFrame:
+        if "shards" not in _memo:
+            _memo["shards"] = index.shards_for_terms(terms)
+        return _memo["shards"]
+
+    def get_dfs_subtree() -> DataFrame:
+        if "dfs" not in _memo:
+            _memo["dfs"] = (
+                get_shards().groupBy("term").agg(F.sum("df").alias("df"))
+            )
+        return _memo["dfs"]
 
     # Per-term global df (sum over segments). Two execution shapes:
     # * query cap configured or strategy='auto' → collect driver-side
@@ -558,7 +592,6 @@ def search_sharded(
         guard_caps.append(cfg.max_postings_per_term)
     if use_cache is None:
         use_cache = strategy == "auto"
-    dfs_subtree = shards.groupBy("term").agg(F.sum("df").alias("df"))
     df_rows = None
     if guard_caps or strategy == "auto" or use_cache:
         # per-index df cache (cleared on refresh): the driver-side df
@@ -574,7 +607,7 @@ def search_sharded(
                 {"term": t, "df": cache[t]} for t in terms if cache[t] > 0
             ]
         else:
-            df_rows = dfs_subtree.collect()
+            df_rows = get_dfs_subtree().collect()
             seen = {r["term"] for r in df_rows}
             for r in df_rows:
                 cache[r["term"]] = int(r["df"])
@@ -599,26 +632,34 @@ def search_sharded(
                     "honor the BUILD cap physically and only the "
                     "query-time cap refuses."
                 )
-        dfs = spark.createDataFrame(
-            [(r["term"], int(r["df"])) for r in df_rows],
-            "term string, df long",
-        )
-    else:
-        dfs = dfs_subtree
-
     if use_cache and df_rows is not None:
         df_map = {r["term"]: int(r["df"]) for r in df_rows}
-        if sum(df_map.get(t, 0) for t in terms) <= CACHE_MAX_QUERY_POSTINGS:
+        # replication-aware work estimate: the driver DAAT traverses
+        # each term's postings once PER QUERY that uses it, so a large
+        # offline batch (query_df over 1k+ queries) must stay on the
+        # distributed engines even when its distinct-term df sum is
+        # tiny — sum over (query, term) occurrences, not terms
+        est_work = sum(df_map.get(t, 0) for _, t, _ in qt_data)
+        if est_work <= CACHE_MAX_QUERY_POSTINGS:
             return _run_local_daat(
                 spark, index, qt_data, df_map, n, avgdl, cfg,
                 top_k, score_round,
             )
 
+    # distributed engines from here on
+    if df_rows is not None:
+        dfs = spark.createDataFrame(
+            [(r["term"], int(r["df"])) for r in df_rows],
+            "term string, df long",
+        )
+    else:
+        dfs = get_dfs_subtree()
+
     def _run_exhaustive(sub_qt: List[tuple]) -> DataFrame:
         qt = spark.createDataFrame(
             sub_qt, "query_id long, term string, qtf int"
         )
-        decoded = decode_shards_to_postings(shards)
+        decoded = decode_shards_to_postings(get_shards())
         joined = decoded.join(F.broadcast(dfs), "term").join(
             F.broadcast(qt), "term"
         )
@@ -691,7 +732,7 @@ def search_sharded(
         qg_df = spark.createDataFrame(
             [(i,) for i in range(n_qg)], "qgroup int"
         )
-        seg_shards = shards.crossJoin(F.broadcast(qg_df))
+        seg_shards = get_shards().crossJoin(F.broadcast(qg_df))
         k1, b = cfg.k1, cfg.b
 
         def run_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
