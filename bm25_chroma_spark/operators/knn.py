@@ -549,6 +549,33 @@ def ivf_write_partitioned(
     ).partitionBy("cell").parquet(path)
 
 
+def _expr_probes(
+    q: DataFrame, centroids: List[List[float]], nprobe: int
+) -> DataFrame:
+    """Query-side probe selection as pure column expressions —
+    (query_id, qvec, cell), the ``nprobe`` nearest centroids per query
+    by (cosine dist asc, cid asc). The SAME left-fold arithmetic as
+    the corpus-side ``ivf_assign_cells`` expr form, so every tie and
+    last-ulp boundary matches the cell assignment — and the SQL
+    oracle — bit for bit. Small-quantizer path only (the caller gates
+    on ``_use_expr_quantizer``)."""
+    qd = q.select(
+        "query_id",
+        "qvec",
+        F.posexplode(
+            F.array(
+                *[_cos_dist(F.col("qvec"), _lit_vec(c)) for c in centroids]
+            )
+        ).alias("cid", "cdist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cid"))
+    return (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", F.col("cid").alias("cell"))
+    )
+
+
 def knn_ivf_partitioned(
     spark,
     path: str,
@@ -557,31 +584,56 @@ def knn_ivf_partitioned(
     k: int = 10,
     nprobe: int = 3,
     score_round: Optional[int] = None,
+    probe_method: str = "auto",
 ) -> DataFrame:
     """Query the materialized inverted file written by
-    ivf_write_partitioned. Probe cells are chosen DRIVER-SIDE in
-    numpy (query vectors are already local), the scan filters
-    ``cell IN (union of probed cells)`` — which Spark turns into
-    partition pruning over the ``cell=K`` directories (PartitionFilters
-    in the plan; non-probed cells are never touched) — and the
-    per-query cell restriction + exact cosine rerank run on the pruned
-    scan. Same output contract as knn_ivf.
-    """
-    C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-    Q = np.asarray(
-        [[float(x) for x in v] for v in query_vecs], dtype=np.float64
-    )
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")
-    probe_rows = [
-        (qid, int(cell))
-        for qid in range(len(query_vecs))
-        for cell in order[qid, :nprobe]
-    ]
-    all_cells = sorted({c for _, c in probe_rows})
+    ivf_write_partitioned. Probe cells are chosen driver-side — the
+    probe set is tiny (|queries| x nprobe) by contract — then the scan
+    filters ``cell IN (union of probed cells)``, which Spark turns
+    into partition pruning over the ``cell=K`` directories
+    (PartitionFilters in the plan; non-probed cells are never
+    touched), and the per-query cell restriction + exact cosine
+    rerank run on the pruned scan. Same output contract as knn_ivf.
 
+    ``probe_method`` picks how the probe cells are computed (same
+    regimes as ivf_assign_cells): on the small-quantizer ``expr``
+    path one tiny Spark job runs the probe selection through the SAME
+    column expressions as the store's ingest-time cell assignment —
+    bit-exact left-fold arithmetic, which is what lets the
+    ann_ivf_partitioned contract entry hash-match its SQL oracle; on
+    the large-quantizer ``pandas`` path probes come from one numpy
+    matmul on the driver (query vectors are already local, and a
+    sqrt(N)-cell quantizer must not be inlined as literals).
+    """
     q = _queries_df(spark, query_vecs)
+    if _use_expr_quantizer(centroids, probe_method):
+        probe_rows = [
+            (int(r["query_id"]), int(r["cell"]))
+            for r in _expr_probes(q, centroids, nprobe)
+            .select("query_id", "cell")
+            .collect()
+        ]
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+        Cn = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-300
+        )
+        qrows = q.select("query_id", "qvec").collect()
+        qids = [int(r["query_id"]) for r in qrows]
+        Q = np.asarray(
+            [[float(x) for x in r["qvec"]] for r in qrows],
+            dtype=np.float64,
+        )
+        Qn = Q / np.maximum(
+            np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
+        )
+        order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")
+        probe_rows = [
+            (qid, int(cell))
+            for pos, qid in enumerate(qids)
+            for cell in order[pos, :nprobe]
+        ]
+    all_cells = sorted({c for _, c in probe_rows})
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int"
     ).join(q, "query_id")
@@ -659,26 +711,7 @@ def knn_ivf(
 
     q = _queries_df(spark, query_vecs)
     if _use_expr_quantizer(centroids, method):
-        qd = q.select(
-            "query_id",
-            "qvec",
-            F.posexplode(
-                F.array(
-                    *[
-                        _cos_dist(F.col("qvec"), _lit_vec(c))
-                        for c in centroids
-                    ]
-                )
-            ).alias("cid", "cdist"),
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.asc("cdist"), F.asc("cid")
-        )
-        probes = (
-            qd.withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= nprobe)
-            .select("query_id", "qvec", F.col("cid").alias("cell"))
-        )
+        probes = _expr_probes(q, centroids, nprobe)
     else:
         C = np.asarray(centroids, dtype=np.float64)
         Cn = C / np.maximum(

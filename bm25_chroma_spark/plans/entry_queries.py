@@ -621,12 +621,15 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning (knn_ivf_partitioned — PartitionFilters carry
     the probed cells; see PLANS.md).
 
-    Rows-only entry (no oracle_sql): probe selection runs driver-side
-    in numpy, whose float association differs from SQL in the last
-    ulp; bit-exact parity of the same IVF structure is already pinned
-    by ann_ivf, and store-vs-in-memory equality by
-    test_ivf_partitioned_store_prunes_and_matches. Deterministic:
-    seeded quantizer, stable probe order, round-before-rank."""
+    Hash-checked against the same _ivf_oracle() as ann_ivf since r6:
+    at this quantizer size knn_ivf_partitioned's probe selection runs
+    through the shared _expr_probes column expressions — the same
+    left-fold arithmetic as the store's ingest-time cell assignment
+    and the SQL mirror — so the materialized+pruned path must return
+    bit-identical rows to the in-memory entry (which
+    test_ivf_partitioned_store_prunes_and_matches also pins engine-
+    side). Deterministic: seeded quantizer, expr probe order,
+    round-before-rank."""
     import tempfile
 
     from bm25_chroma_spark.operators.knn import (
@@ -1049,6 +1052,10 @@ SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= {KNN_K}
 
 _ORACLES["ann_ivf"] = _ivf_oracle()
 _ORACLES["ann_ivf_trained0"] = _ivf_oracle(round_centroids=True)
+# the materialized-store path computes probes through the same expr
+# arithmetic at this quantizer size (knn_ivf_partitioned probe_method
+# "auto" -> _expr_probes), so the identical IVF mirror applies
+_ORACLES["ann_ivf_partitioned"] = _ivf_oracle()
 
 _ORACLES["embedding_dups"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

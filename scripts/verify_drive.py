@@ -56,6 +56,12 @@ def main() -> None:
     spot = sys.argv[1:] or ["bm25_topk", "term_idf", "rrf_hybrid"]
     for name in spot:
         sdf = q[name](spark, sf).toPandas()
+        if name not in osql:
+            # rows-only contract entry (deliberately no oracle, e.g.
+            # the iterative ann_ivf_trained): drive rows + schema only
+            assert len(sdf) >= 0 and list(sdf.columns), name
+            print(name, "rows-only OK", len(sdf), "rows")
+            continue
         odf = con.execute(osql[name]).df()
         scols, ocols = sorted(sdf.columns), sorted(odf.columns)
         assert scols == ocols, (name, scols, ocols)
