@@ -126,9 +126,11 @@ def main() -> None:
         "IVF materialized inverted file: probing IS partition pruning "
         "— the scan's PartitionFilters carry the probed cells, so "
         "non-probed cell=K directories are never listed or read; "
-        "probe selection happens driver-side (query vectors are "
-        "local), broadcast probes restrict per query, exact cosine "
-        "rerank on the pruned scan only",
+        "probe cells come from one tiny expr job sharing the "
+        "ingest-time cell arithmetic on small quantizers (oracle-"
+        "exact; numpy matmul above 4096 literals), broadcast probes "
+        "restrict per query, exact cosine rerank on the pruned scan "
+        "only",
         explain_str(
             knn_ivf_partitioned(
                 spark, ivf_dir, qv, cents, k=10, nprobe=3
@@ -147,6 +149,26 @@ def main() -> None:
         "joins",
         explain_str(
             embedding_near_dups(emb, threshold=0.9, id_col="vec_id")
+        ),
+    ))
+
+    from bm25_chroma_spark.plans.retriever import SparkHybridRetriever
+
+    r = SparkHybridRetriever(spark, tempfile.mkdtemp() + "/ret_state")
+    r.add_documents_df(
+        docs.limit(300).select(
+            docs["doc_id"].cast("string").alias("doc_uid"), "text"
+        )
+    )
+    sections.append((
+        "query_df batch hybrid surface (r6): both legs stay "
+        "DataFrames end-to-end — bucket-pruned BM25 leg + broadcast-"
+        "query KNN leg fused by the distributed rrf_fuse (union + "
+        "hash-agg + window rank); only query TEXTS touch the driver "
+        "(tokenizer/embedder contract), results are |Q| x k and "
+        "never collect",
+        explain_str(
+            r.query_df(["spark join hash", "window agg sort"], n_results=5)
         ),
     ))
 

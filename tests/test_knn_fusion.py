@@ -291,6 +291,14 @@ def test_ivf_partitioned_store_prunes_and_matches(
     ).collect()
     assert sorted(map(tuple, part)) == sorted(map(tuple, mem))
 
+    # both probe-selection regimes (tiny expr job vs driver numpy
+    # matmul) pick the same cells on the ulp-tie-free fixture
+    part_pd = knn_ivf_partitioned(
+        spark, path, qvecs, cents, k=10, nprobe=3,
+        probe_method="pandas",
+    ).collect()
+    assert sorted(map(tuple, part_pd)) == sorted(map(tuple, part))
+
     buf = io.StringIO()
     with redirect_stdout(buf):
         part_df.explain("formatted")
