@@ -699,6 +699,50 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_query_df_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-user facade drive: DataFrame-native ingest of the
+    documents table into a SparkHybridRetriever (sharded index +
+    executor-side hashed-BoW embedding) and the batch DataFrame-out
+    hybrid surface ``query_df`` over the flagship query set — the
+    exact pipeline an offline evaluation over 100k+ queries runs,
+    legs and RRF fusion distributed end-to-end.
+
+    Rows-only entry (no oracle_sql), deliberately: every leg
+    component is hash-checked individually (bm25_topk / knn_topk /
+    embed_corpus / rrf_hybrid), and query_df == query() is
+    pytest-pinned (test_query_df_matches_query); what SQL cannot
+    mirror is the facade's rank tie-break on the internal
+    xxhash64(doc_uid) doc id (a Spark-specific 64-bit hash — score
+    ties are common on the synthetic corpus, and leg RANKS feed the
+    RRF sums, so the tie order decides output values; emulating
+    xxhash64 in DuckDB needs wrapping 64-bit arithmetic it doesn't
+    have). Row count is deterministic (row_number top-k)."""
+    import tempfile
+
+    from bm25_chroma_spark.plans.retriever import (
+        SparkHybridRetriever,
+        hashed_bow_embedder,
+    )
+
+    r = SparkHybridRetriever(
+        spark,
+        tempfile.mkdtemp() + "/qdf_state",
+        embedding_function=hashed_bow_embedder,
+    )
+    r.add_documents_df(
+        _load_docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_uid"), "text"
+        )
+    )
+    out = r.query_df(_queries_df(spark), n_results=TOP_K)
+    return out.select(
+        "query_id",
+        "doc_uid",
+        (F.round("score", ROUND) + F.lit(0.0)).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ----------------------------------------------------------------- #
 # oracles for the pipeline operators                                 #
 # ----------------------------------------------------------------- #
@@ -1413,6 +1457,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained0": q_ann_ivf_trained0,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "rrf_hybrid": q_rrf_hybrid,
+        "query_df_hybrid": q_query_df_hybrid,
         # relational showcase
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
