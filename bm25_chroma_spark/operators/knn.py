@@ -303,12 +303,7 @@ def ivf_seed_centroids(
 _KMEANS_EXPR_MAX_DIM = 256
 
 
-def _centroid_sums_arrow(assigned: DataFrame, dim: int) -> list:
-    """(cell, n, sums[dim]) via Arrow: one mapInPandas pass emits at
-    most one partial row per (partition, cell) — the map-side combine
-    — then a grouped applyInPandas merge leaves exactly one row per
-    cell. The shuffle moves n_partitions x n_cells packed rows, never
-    the vectors, and the driver receives only n_cells rows."""
+def _partial_merge_schema():
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -318,19 +313,50 @@ def _centroid_sums_arrow(assigned: DataFrame, dim: int) -> list:
         StructType,
     )
 
-    schema = StructType(
+    return StructType(
         [
+            StructField("pid", IntegerType()),
             StructField("cell", IntegerType()),
             StructField("n", LongType()),
             StructField("sums", ArrayType(DoubleType())),
         ]
     )
 
+
+def _merge_partials_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-cell merge of (pid, cell, n, sums) partials in SORTED
+    partition order: the shuffle delivers partials in task-completion
+    order, which varies run to run, and float addition is not
+    associative — sorting by pid before summing pins the summation
+    order so trained centroids are bit-reproducible across runs."""
+    pdf = pdf.sort_values("pid")
+    S = np.stack(pdf["sums"].to_numpy()).sum(axis=0)
+    return pd.DataFrame(
+        {
+            "pid": [0],
+            "cell": [int(pdf["cell"].iloc[0])],
+            "n": [int(pdf["n"].sum())],
+            "sums": [S.tolist()],
+        }
+    )
+
+
+def _centroid_sums_arrow(assigned: DataFrame, dim: int) -> list:
+    """(cell, n, sums[dim]) via Arrow: one mapInPandas pass emits at
+    most one partial row per (partition, cell) — the map-side combine
+    — then a grouped applyInPandas merge (sorted by partition id for
+    run-to-run determinism) leaves exactly one row per cell. The
+    shuffle moves n_partitions x n_cells packed rows, never the
+    vectors, and the driver receives only n_cells rows."""
+    schema = _partial_merge_schema()
+
     def partials(batches):
+        pid = -1
         acc: dict = {}
         for pdf in batches:
             if not len(pdf):  # empty Arrow batch: np.stack would raise
                 continue
+            pid = int(pdf["pid"].iloc[0])
             cells = pdf["cell"].to_numpy()
             M = np.stack(pdf["vec"].to_numpy())
             for c in np.unique(cells):
@@ -344,27 +370,45 @@ def _centroid_sums_arrow(assigned: DataFrame, dim: int) -> list:
         if acc:
             yield pd.DataFrame(
                 {
+                    "pid": pid,
                     "cell": list(acc.keys()),
                     "n": [v[0] for v in acc.values()],
                     "sums": [v[1].tolist() for v in acc.values()],
                 }
             )
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        S = np.stack(pdf["sums"].to_numpy()).sum(axis=0)
-        return pd.DataFrame(
-            {
-                "cell": [int(pdf["cell"].iloc[0])],
-                "n": [int(pdf["n"].sum())],
-                "sums": [S.tolist()],
-            }
-        )
-
     return (
-        assigned.select("cell", "vec")
+        assigned.select(
+            F.spark_partition_id().alias("pid"), "cell", "vec"
+        )
         .mapInPandas(partials, schema=schema)
         .groupBy("cell")
-        .applyInPandas(lambda pdf: merge(pdf), schema=schema)
+        .applyInPandas(_merge_partials_sorted, schema=schema)
+        .collect()
+    )
+
+
+def _centroid_sums_expr(assigned: DataFrame, dim: int) -> list:
+    """(cell, n, sums[dim]) via per-dimension sum expressions, made
+    run-to-run deterministic the same way as the Arrow path: stage 1
+    aggregates per (input partition, cell) — every such group lives
+    inside ONE partition, so its whole sum is computed map-side in
+    scan order and the shuffle carries exactly one partial per group
+    (same volume as a plain groupBy(cell)'s partial-agg exchange) —
+    and stage 2 merges per cell in sorted partition order. A plain
+    groupBy(cell) final agg would instead fold partials in
+    task-completion order, which varies between runs."""
+    part = assigned.groupBy(
+        F.spark_partition_id().alias("pid"), "cell"
+    ).agg(
+        F.count("*").alias("n"),
+        F.array(
+            *[F.sum(F.col("vec")[i]) for i in range(dim)]
+        ).alias("sums"),
+    )
+    return (
+        part.groupBy("cell")
+        .applyInPandas(_merge_partials_sorted, schema=_partial_merge_schema())
         .collect()
     )
 
@@ -384,8 +428,8 @@ def ivf_train_centroids(
     ``ivf_assign_cells`` pass, and the centroid update has two
     physical forms with identical semantics —
 
-    * ``expr`` — map-side-combined groupBy(cell) with per-dimension
-      ``sum(vec[i])`` expressions: whole-stage-codegen'd, no
+    * ``expr`` — per-dimension ``sum(vec[i])`` expressions aggregated
+      per (input partition, cell): whole-stage-codegen'd, no
       posexplode (which would multiply the shuffle by ``dim``), no
       vectors collected to the driver; only the (n_cells x dim) sums
       come back. The right form while ``dim`` is modest.
@@ -399,8 +443,13 @@ def ivf_train_centroids(
       Parity is test-pinned (test_kmeans_arrow_matches_expr).
 
     Empty cells keep their previous centroid. Deterministic given the
-    seeds (medoid seeds by default) up to float summation order, so
-    results are reproducible across runs and cluster sizes.
+    seeds (medoid seeds by default) INCLUDING float summation order:
+    both forms compute per-(partition, cell) partials in scan order
+    and merge them per cell sorted by partition id
+    (_merge_partials_sorted), so repeated runs over the same
+    partitioning produce bit-identical centroids — which keeps the
+    rows-only ann_ivf_trained contract entry stable across the
+    driver's re-runs.
 
     FAISS-style trained cells give materially better recall-per-nprobe
     than raw medoid seeds on clustered data (see
@@ -422,29 +471,13 @@ def ivf_train_centroids(
         method = "expr" if dim <= _KMEANS_EXPR_MAX_DIM else "arrow"
     if method not in ("expr", "arrow"):
         raise ValueError(f"unknown k-means method {method!r}")
-    sum_exprs = [
-        F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(dim)
-    ] if method == "expr" else None
+    sums_of = _centroid_sums_expr if method == "expr" else _centroid_sums_arrow
     for _ in range(n_iters):
         assigned = ivf_assign_cells(e, centroids)
-        if method == "expr":
-            rows = (
-                assigned.groupBy("cell")
-                .agg(F.count("*").alias("n"), *sum_exprs)
-                .collect()
-            )
-            sums = {
-                int(r["cell"]): (
-                    float(r["n"]),
-                    [float(r[f"s{i}"]) for i in range(dim)],
-                )
-                for r in rows
-            }
-        else:
-            sums = {
-                int(r["cell"]): (float(r["n"]), list(r["sums"]))
-                for r in _centroid_sums_arrow(assigned, dim)
-            }
+        sums = {
+            int(r["cell"]): (float(r["n"]), list(r["sums"]))
+            for r in sums_of(assigned, dim)
+        }
         new_centroids = [list(c) for c in centroids]  # empty cells keep
         for cell, (n, s) in sums.items():
             if n > 0:

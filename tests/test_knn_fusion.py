@@ -623,3 +623,25 @@ def test_kmeans_arrow_matches_expr(spark):
         for r in ivf_assign_cells(e, arrow).collect()
     )
     assert a == b
+
+
+def test_kmeans_bit_reproducible_both_methods(spark):
+    """Trained centroids are BIT-identical across repeated runs for
+    both centroid-update forms: partials are computed per (input
+    partition, cell) in scan order and merged per cell sorted by
+    partition id, so no task-completion-order float drift reaches the
+    result (what keeps the rows-only ann_ivf_trained contract entry
+    stable across driver re-runs). Hash-partitioned input so the
+    partition contents themselves are reproducible."""
+    from bm25_chroma_spark.operators.knn import ivf_train_centroids
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(12).tolist()) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(7, "vec_id")
+
+    for method in ("expr", "arrow"):
+        c1 = ivf_train_centroids(df, 5, n_iters=3, method=method)
+        c2 = ivf_train_centroids(df, 5, n_iters=3, method=method)
+        assert c1 == c2, method
