@@ -415,6 +415,25 @@ def _auto_strategy(
 CACHE_MAX_QUERY_POSTINGS = 200_000
 
 
+def _empty_results_df(spark) -> DataFrame:
+    """Empty (query_id, doc_id, score, rank) result that plans as
+    LocalTableScan <empty> so collect() launches zero Spark jobs —
+    createDataFrame([]) and an empty pandas frame both plan as Scan
+    ExistingRDD, which pays one (pointless) job per collect on the
+    interactive no-match path."""
+    pdf = pd.DataFrame(
+        {
+            "query_id": pd.Series([0], dtype="int64"),
+            "doc_id": pd.Series([0], dtype="int64"),
+            "score": pd.Series([0.0], dtype="float64"),
+            "rank": pd.Series([0], dtype="int32"),
+        }
+    )
+    return spark.createDataFrame(
+        pdf, schema="query_id long, doc_id long, score double, rank int"
+    ).limit(0)
+
+
 def _run_local_daat(
     spark,
     index: ShardedIndex,
@@ -449,7 +468,14 @@ def _run_local_daat(
         # Arrow-backed local relation: a plain-list createDataFrame
         # pays a ~0.28s pickling collect path PER CALL (measured r6),
         # the pandas/Arrow one ~15ms — this is most of the warm-path
-        # floor
+        # floor. EMPTY results must not go through an empty frame:
+        # both an empty pandas frame and an empty-list createDataFrame
+        # plan as Scan ExistingRDD, whose collect() launches a
+        # (pointless) Spark job — a one-row Arrow frame with limit(0)
+        # plans as LocalTableScan <empty>, zero jobs (measured:
+        # 1 job/0.32s vs 0 jobs/ms for a no-match query).
+        if not rows:
+            return _empty_results_df(spark)
         pdf = pd.DataFrame(
             {
                 "query_id": pd.Series(
@@ -546,9 +572,7 @@ def search_sharded(
     ]
     terms = sorted({t for _, t, _ in qt_data})
     if not terms:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, score double, rank int"
-        )
+        return _empty_results_df(spark)
     n, avgdl = float(index.n_docs), float(index.avgdl)
 
     # scan-plan construction is deferred: building the bucket-pruned

@@ -1,0 +1,179 @@
+"""Driver-resident interactive warm caches (r6): the facade's repeat
+queries must launch ZERO Spark jobs, return results bit-identical to
+the distributed engines, and never serve stale rows across any
+mutation (DML, compaction, reset+re-ingest).
+
+Reference semantics being preserved: the facade results themselves
+(hybrid_retriever.py:379-428 query contract) — the caches are a pure
+execution-strategy change, invisible in returned values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bm25_chroma_spark.plans.retriever import SparkHybridRetriever
+
+
+def _njobs(spark) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+
+
+def _mk(spark, tmp_path, n=120, name="wstate") -> SparkHybridRetriever:
+    r = SparkHybridRetriever(spark, str(tmp_path / name))
+    texts = [
+        f"alpha beta gamma document number{i} " + ("spark " * (i % 5))
+        for i in range(n)
+    ]
+    r.add_documents_batch(
+        texts,
+        [f"doc{i}" for i in range(n)],
+        [{"k": i} for i in range(n)],
+    )
+    return r
+
+
+def test_warm_facade_zero_jobs_and_identical(spark, tmp_path):
+    """Second identical query()/search_bm25/hybrid_search: zero Spark
+    jobs, byte-identical results (floats compared exactly — the warm
+    engines are sequential-fold twins, not approximations)."""
+    r = _mk(spark, tmp_path)
+    q = ["alpha spark document", "beta gamma"]
+
+    cold = r.query(q, n_results=5)
+    assert cold["ids"][0], "fixture must produce hits"
+    j0 = _njobs(spark)
+    warm = r.query(q, n_results=5)
+    assert _njobs(spark) == j0, "warm query() must launch no Spark job"
+    assert warm == cold
+
+    b_cold = r.search_bm25("alpha spark document", top_k=5)
+    j0 = _njobs(spark)
+    assert r.search_bm25("alpha spark document", top_k=5) == b_cold
+    assert _njobs(spark) == j0
+
+    h_cold = r.hybrid_search("alpha spark document", top_k=5)
+    j0 = _njobs(spark)
+    assert r.hybrid_search("alpha spark document", top_k=5) == h_cold
+    assert _njobs(spark) == j0
+    assert r.last_vector_engine == "driver-cache"
+    assert r.last_vector_route == "exact"
+
+
+def test_warm_empty_result_zero_jobs(spark, tmp_path):
+    """A no-match query must not pay a job either: empty local-DAAT
+    results plan as an empty LocalTableScan, not Scan ExistingRDD
+    (the pandas->Arrow empty-frame fallback wart, fixed r6)."""
+    r = _mk(spark, tmp_path, n=40)
+    assert r.search_bm25("zzzzunknown qqqterm", top_k=5) == []
+    j0 = _njobs(spark)
+    assert r.search_bm25("zzzzunknown qqqterm", top_k=5) == []
+    assert _njobs(spark) == j0
+
+
+def test_vec_cache_bit_identical_to_spark_knn(spark, tmp_path):
+    """_VecCache.topk is a bit-exact twin of operators/knn.py::
+    knn_bruteforce: same sequential-left-fold dot/norm arithmetic,
+    same (dist asc, vec_id asc) order. Forcing the distributed engine
+    (cache bound = 0) must reproduce the cache's floats EXACTLY."""
+    r = _mk(spark, tmp_path, n=60)
+    queries = ["alpha spark document", "gamma number7", "beta"]
+    cached = [r.search_vector(q, top_k=8) for q in queries]
+    assert r.last_vector_engine == "driver-cache"
+    assert any(res for res in cached)
+
+    r.vector_cache_max_floats = 0  # evicting bound -> spark engine
+    r._vec_cache = None
+    dist = [r.search_vector(q, top_k=8) for q in queries]
+    assert r.last_vector_engine == "spark"
+    assert r.last_vector_route == "exact"
+    assert cached == dist  # exact float equality, not approx
+
+
+def test_vector_cache_too_big_falls_back(spark, tmp_path):
+    """Over-bound corpora must keep the distributed exact path (the
+    100 TB behavior): the cache marks 'too-big' once and stops
+    re-counting."""
+    r = _mk(spark, tmp_path, n=30)
+    r.vector_cache_max_floats = 1
+    out = r.search_vector("alpha spark", top_k=3)
+    assert out and r.last_vector_engine == "spark"
+    assert r._vec_cache == "too-big"
+
+
+def test_warm_cache_invalidated_by_delete(spark, tmp_path):
+    """Deleting a doc that sits in the warm caches must evict it
+    everywhere: BM25 leg, vector leg, and the text/meta fetch."""
+    r = _mk(spark, tmp_path, n=50)
+    q = "alpha spark document"
+    cold = r.query([q], n_results=5)
+    victim = cold["ids"][0][0]
+    r.remove_documents_batch([victim])
+    after = r.query([q], n_results=5)
+    assert victim not in after["ids"][0]
+    assert after["ids"][0], "other docs must still be served"
+    vec = r.search_vector(q, top_k=50)
+    assert victim not in [u for u, _ in vec]
+
+
+def test_warm_cache_invalidated_by_reset_reingest(spark, tmp_path):
+    """reset_collection() + re-ingest recreates the SAME gen file
+    names and can land on the same index generation — the mtime
+    component of _interactive_key must still move, so the caches
+    can never serve pre-reset texts/vectors."""
+    r = SparkHybridRetriever(spark, str(tmp_path / "rstate"))
+    r.add_documents_batch(
+        ["alpha old text one", "alpha old text two"], ["a", "b"]
+    )
+    pre = r.query(["alpha"], n_results=2)
+    assert all("old" in d for d in pre["documents"][0])
+
+    r.reset_collection()
+    r.add_documents_batch(
+        ["alpha new text one", "alpha new text two"], ["a", "b"]
+    )
+    post = r.query(["alpha"], n_results=2)
+    assert all("new" in d for d in post["documents"][0]), (
+        "stale pre-reset rows served from the warm caches"
+    )
+    vec = r.search_vector("alpha new text one", top_k=1)
+    assert vec and vec[0][0] in ("a", "b")
+
+
+def test_warm_query_includes_embeddings_from_cache(spark, tmp_path):
+    """query(include=['embeddings']) served from the vector cache must
+    return the same floats as the distributed fetch."""
+    r = _mk(spark, tmp_path, n=25)
+    q = ["alpha spark document"]
+    cold = r.query(q, n_results=3, include=["documents", "embeddings"])
+    j0 = _njobs(spark)
+    warm = r.query(q, n_results=3, include=["documents", "embeddings"])
+    assert _njobs(spark) == j0
+    assert warm == cold
+    assert warm["embeddings"][0] and len(warm["embeddings"][0][0]) > 0
+
+    r2 = SparkHybridRetriever(spark, str(r.state))
+    r2.vector_cache_max_floats = 0  # distributed fetch path
+    spark_side = r2.query(
+        q, n_results=3, include=["documents", "embeddings"]
+    )
+    assert spark_side["embeddings"] == warm["embeddings"]
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+def test_warm_rank_identity_after_dml_sequence(spark, tmp_path, batch):
+    """Warm-cache answers stay rank-identical to a cache-cold fresh
+    handle across an interleaved add/delete sequence (the staleness
+    fuzzer in miniature)."""
+    r = _mk(spark, tmp_path, n=40, name=f"seq{batch}")
+    q = ["alpha spark document", "gamma beta"]
+    r.query(q, n_results=5)  # warm
+    r.add_documents_batch(
+        [f"alpha fresh doc {i} spark" for i in range(batch)],
+        [f"new{i}" for i in range(batch)],
+    )
+    r.remove_documents_batch(["doc1", "doc3"])
+    warm = r.query(q, n_results=5)
+
+    fresh = SparkHybridRetriever(spark, str(r.state))
+    assert fresh.query(q, n_results=5) == warm
