@@ -141,7 +141,24 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     retr.query(fq, n_results=10)  # warm
     t0 = time.time()
     retr.query(fq, n_results=10)
+    # r6: the warm repeat is now served by the driver-resident facade
+    # caches (zero Spark jobs) — this key measures the interactive
+    # warm regime; facade_query_spark below keeps the distributed
+    # engine visible round-over-round.
     timings["facade_query_hybrid"] = time.time() - t0
+
+    # 4b'. same call with the warm caches bypassed: a fresh handle,
+    # vector cache bound 0 (distributed exact KNN) and explicit
+    # exhaustive BM25 (no postings-LRU routing) — the shape every
+    # query pays when the corpus outgrows the interactive caches.
+    retr_d = SparkHybridRetriever(
+        spark, fac_dir, bm25_strategy="exhaustive"
+    )
+    retr_d.vector_cache_max_floats = 0
+    retr_d.query(fq, n_results=10)  # warm JVM/scan caches only
+    t0 = time.time()
+    retr_d.query(fq, n_results=10)
+    timings["facade_query_spark"] = time.time() - t0
 
     # 4c. DataFrame-out batch surface (query_df, r6): 1k queries in
     # one distributed job set, results never collected to the driver
