@@ -588,8 +588,15 @@ def embedding_near_dups(
         l = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
         r = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
         cand = l.join(r, F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
-        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    # ANSI-safe zero-norm guard: a pair with an all-zero vector gets
+    # NULL cosine (undefined similarity) and drops out of the >=
+    # filter, instead of killing the job with DIVIDE_BY_ZERO. NULL,
+    # not knn's NaN: Spark orders NaN GREATER than every double, so a
+    # NaN cosine would wrongly PASS the threshold filter.
+    denom = _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    cos = F.when(
+        denom != F.lit(0.0),
+        _dot(F.col("vec_a"), F.col("vec_b")) / denom,
     )
     return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold

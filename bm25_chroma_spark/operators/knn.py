@@ -36,6 +36,21 @@ def _norm(a):
     )
 
 
+def _nan_div(num, den):
+    """Division that yields NaN on a zero denominator. Spark 4 runs
+    ANSI mode by default, so a bare `/` THROWS DIVIDE_BY_ZERO when a
+    zero-norm vector reaches a cosine (hashed-BoW signs can cancel to
+    an all-zero embedding) — one such row would kill the whole job.
+    NaN, not try_divide's NULL, is the right substitute: NaN orders
+    GREATER than every double, so zero-norm rows sink below all real
+    matches in the (dist asc) rank, exactly like the driver-side
+    numpy twin (plans/retriever.py::_VecCache.topk, errstate->NaN);
+    NULL would sort FIRST ascending and surface garbage hits."""
+    return F.when(den != F.lit(0.0), num / den).otherwise(
+        F.lit(float("nan"))
+    )
+
+
 def _queries_df(spark, query_vecs) -> DataFrame:
     """Query-vector side as a DataFrame. Accepts either a plain
     sequence of vectors (query_id = position, the interactive form)
@@ -77,8 +92,9 @@ def knn_bruteforce(
     )
     joined = e.crossJoin(F.broadcast(q))
     if metric == "cosine":
-        cos = _dot(F.col("vec"), F.col("qvec")) / (
-            _norm(F.col("vec")) * _norm(F.col("qvec"))
+        cos = _nan_div(
+            _dot(F.col("vec"), F.col("qvec")),
+            _norm(F.col("vec")) * _norm(F.col("qvec")),
         )
         dist = F.lit(1.0) - cos
     elif metric == "l2":
@@ -223,8 +239,9 @@ def knn_lsh(
     )
     # vectors rejoin exactly once, post-dedup, for the exact rerank
     cand = pairs.join(e, "vec_id").join(F.broadcast(q), "query_id")
-    cos = _dot(F.col("vec"), F.col("qvec")) / (
-        _norm(F.col("vec")) * _norm(F.col("qvec"))
+    cos = _nan_div(
+        _dot(F.col("vec"), F.col("qvec")),
+        _norm(F.col("vec")) * _norm(F.col("qvec")),
     )
     scored = cand.select(
         "query_id", "vec_id", (F.lit(1.0) - cos).alias("dist")
@@ -268,7 +285,7 @@ def _lit_vec(v: Sequence[float]):
 
 
 def _cos_dist(a, b):
-    return F.lit(1.0) - _dot(a, b) / (_norm(a) * _norm(b))
+    return F.lit(1.0) - _nan_div(_dot(a, b), _norm(a) * _norm(b))
 
 
 def ivf_seed_centroids(

@@ -953,11 +953,22 @@ class SparkHybridRetriever:
             else:
                 missing.append(u)
         if missing:
-            for r in (
-                self.corpus_df()
-                .filter(F.col("doc_uid").isin(missing))
-                .collect()
-            ):
+            # interactive-sized sets push isin into the parquet scan;
+            # above that a broadcast-joined ids DataFrame (a 1k-query
+            # batched query() can carry 50k result uids — a giant isin
+            # literal tree is the r4 anti-pattern, never build one)
+            if len(missing) <= 1024:
+                fetched = self.corpus_df().filter(
+                    F.col("doc_uid").isin(missing)
+                )
+            else:
+                ids_df = self.spark.createDataFrame(
+                    [(u,) for u in missing], "doc_uid string"
+                )
+                fetched = self.corpus_df().join(
+                    F.broadcast(ids_df), "doc_uid"
+                )
+            for r in fetched.collect():
                 texts[r["doc_uid"]] = r["text"]
                 if r["meta_json"]:
                     metas[r["doc_uid"]] = _json.loads(r["meta_json"])
@@ -1127,11 +1138,20 @@ class SparkHybridRetriever:
                     if u in vcache.by_uid
                 }
             else:
+                if len(all_uids) <= 1024:
+                    vfetched = self.vectors_df().filter(
+                        F.col("doc_uid").isin(all_uids)
+                    )
+                else:
+                    vids = self.spark.createDataFrame(
+                        [(u,) for u in all_uids], "doc_uid string"
+                    )
+                    vfetched = self.vectors_df().join(
+                        F.broadcast(vids), "doc_uid"
+                    )
                 vec_map = {
                     r["doc_uid"]: r["embedding"]
-                    for r in self.vectors_df()
-                    .filter(F.col("doc_uid").isin(all_uids))
-                    .collect()
+                    for r in vfetched.collect()
                 }
 
         all_ids, all_docs, all_metas, all_dists, all_embeds = (

@@ -645,3 +645,56 @@ def test_kmeans_bit_reproducible_both_methods(spark):
         c1 = ivf_train_centroids(df, 5, n_iters=3, method=method)
         c2 = ivf_train_centroids(df, 5, n_iters=3, method=method)
         assert c1 == c2, method
+
+
+def test_zero_norm_vectors_nan_not_crash(spark):
+    """Spark 4 runs ANSI mode: a bare cosine division THROWS
+    DIVIDE_BY_ZERO the moment a zero-norm vector reaches it (hashed-
+    BoW token signs can cancel to an all-zero embedding), killing the
+    whole job. knn's _nan_div yields NaN instead, which Spark orders
+    GREATER than every double — zero-norm rows sink below all real
+    matches, matching the driver-side numpy twin."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero-norm doc vector
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    res = knn_bruteforce(df, [[1.0, 0.0, 0.0]], k=4).collect()
+    got = [r["vec_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert got == [1, 2, 4, 3], got  # zero-norm row ranks LAST
+    assert math.isnan(res[-1]["dist"]) and math.isnan(res[-1]["sim"])
+
+    # zero-norm QUERY vector: every dist NaN, rank falls back to
+    # vec_id asc (NaN == NaN in Spark ordering), still no crash
+    res_q = knn_bruteforce(df, [[0.0, 0.0, 0.0]], k=4).collect()
+    got_q = [r["vec_id"] for r in sorted(res_q, key=lambda r: r["rank"])]
+    assert got_q == [1, 2, 3, 4], got_q
+    assert all(math.isnan(r["dist"]) for r in res_q)
+
+
+def test_zero_norm_vectors_drop_from_embedding_dedup(spark):
+    """embedding_near_dups must neither crash on zero-norm vectors
+    (ANSI DIVIDE_BY_ZERO) nor report them as near-dups: their cosine
+    is undefined -> NULL -> dropped by the threshold filter. (NaN
+    would be WRONG here — Spark orders NaN greater than any double,
+    so NaN >= threshold passes.)"""
+    from bm25_chroma_spark.operators.dedup import embedding_near_dups
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 1e-9]),   # near-dup of 1
+        (3, [0.0, 0.0]),    # zero-norm
+        (4, [0.0, 0.0]),    # zero-norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            df, threshold=0.99, use_lsh=False
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs), pairs

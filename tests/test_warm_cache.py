@@ -177,3 +177,38 @@ def test_warm_rank_identity_after_dml_sequence(spark, tmp_path, batch):
 
     fresh = SparkHybridRetriever(spark, str(r.state))
     assert fresh.query(q, n_results=5) == warm
+
+
+def test_zero_norm_embedding_cache_matches_spark(spark, tmp_path):
+    """A document whose embedding cancels to all-zero (possible with
+    hashed-BoW sign cancellation) must neither crash the distributed
+    exact KNN (ANSI DIVIDE_BY_ZERO, fixed via knn._nan_div) nor
+    diverge between the driver-cache twin and the Spark engine: both
+    give it NaN distance, which orders last in both."""
+
+    def embed(texts):
+        return [
+            [0.0, 0.0, 0.0] if "ZEROVEC" in t
+            else [1.0 if "alpha" in t else 0.2, 0.5, float(len(t) % 7)]
+            for t in texts
+        ]
+
+    r = SparkHybridRetriever(
+        spark, str(tmp_path / "zstate"), embedding_function=embed
+    )
+    r.add_documents_batch(
+        ["alpha one", "alpha two", "ZEROVEC doc", "beta three"],
+        ["a", "b", "z", "c"],
+    )
+    cached = r.search_vector("alpha query", top_k=4)
+    assert r.last_vector_engine == "driver-cache"
+    r.vector_cache_max_floats = 0
+    r._vec_cache = None
+    dist = r.search_vector("alpha query", top_k=4)
+    assert r.last_vector_engine == "spark"
+    assert [u for u, _ in cached] == [u for u, _ in dist]
+    assert cached[-1][0] == "z"  # zero-norm doc ranks last in both
+    import math as _m
+    assert _m.isnan(cached[-1][1]) and _m.isnan(dist[-1][1])
+    pairs = zip(cached[:-1], dist[:-1])
+    assert all(cu == du and cs == ds for (cu, cs), (du, ds) in pairs)
