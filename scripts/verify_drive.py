@@ -71,6 +71,31 @@ def main() -> None:
             a, b, check_dtype=False, check_exact=False, rtol=1e-9
         )
         print(name, "oracle MATCH", len(a), "rows")
+
+    # facade warm-path drive (r6): a repeat interactive query must
+    # launch ZERO Spark jobs and return identical values (the warm
+    # caches are an execution-strategy change only)
+    import tempfile
+
+    from bm25_chroma_spark.plans.retriever import SparkHybridRetriever
+
+    sample = docs.limit(300).collect()
+    retr = SparkHybridRetriever(spark, tempfile.mkdtemp() + "/vstate")
+    retr.add_documents_batch(
+        [r["text"] for r in sample],
+        [f"d{r['doc_id']}" for r in sample],
+    )
+    fq = ["spark shuffle join", "partition pruning parquet"]
+    cold = retr.query(fq, n_results=5)
+    assert cold["ids"][0], "facade produced no hits"
+    tracker = spark.sparkContext.statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None))
+    warm = retr.query(fq, n_results=5)
+    j1 = len(tracker.getJobIdsForGroup(None))
+    assert warm == cold, "warm facade result diverged"
+    assert j1 == j0, f"warm facade launched {j1 - j0} Spark job(s)"
+    print("facade warm drive OK: 0 jobs, identical results")
+
     spark.stop()
     print("VERIFY-DRIVE OK")
 
