@@ -94,6 +94,105 @@ def quality_score(col: Column) -> Column:
     )
 
 
+def _lines(col: Column) -> Column:
+    """Non-blank trimmed lines (newline-split)."""
+    return F.filter(
+        F.transform(F.split(col, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+
+
+def line_count(col: Column) -> Column:
+    """Number of non-blank lines."""
+    return F.size(_lines(col))
+
+
+def duplicate_line_fraction(col: Column) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier
+    line (Gopher-style repetition signal, Rae et al. 2021 §A1.1):
+    ``(n_lines - n_distinct_lines) / n_lines``, 0.0 for line-less
+    text. Pure JVM expression — scan-speed, no shuffle."""
+    lines = _lines(col)
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined, lowercased,
+    whitespace-tokenized); empty array when the text has fewer than
+    ``n`` words. ``n`` must be >= 1. Pure JVM expression."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = _words(col)
+    # F.slice(toks, 1, 0) is a typed empty array<string>; F.sequence
+    # would generate a DESCENDING range when size < n, so the guard
+    # is load-bearing, not cosmetic.
+    empty = F.slice(toks, 1, 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        F.when(F.length(F.trim(col)) == 0, empty)
+        .when(F.size(toks) >= n, grams)
+        .otherwise(empty)
+    )
+
+
+def duplicate_ngram_count(col: Column, n: int) -> Column:
+    """Number of word n-gram occurrences beyond the first occurrence
+    of each distinct gram: ``total - distinct``."""
+    grams = word_ngrams(col, n)
+    return F.size(grams) - F.size(F.array_distinct(grams))
+
+
+def duplicate_ngram_fraction(col: Column, n: int) -> Column:
+    """Gopher-style duplicated-n-gram fraction:
+    ``(total_ngrams - distinct_ngrams) / total_ngrams`` (0.0 when the
+    text has no n-grams)."""
+    total = F.size(word_ngrams(col, n))
+    return F.when(
+        total > 0, duplicate_ngram_count(col, n) / total
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_count(col: Column, n: int) -> Column:
+    """Occurrence count of the single most frequent word n-gram
+    (0 when the text has no n-grams). Computed without exploding:
+    sort the gram array, then one F.aggregate pass tracks the longest
+    run of equal neighbours — O(G log G) per row, stays inside
+    whole-stage codegen, no shuffle. ``n`` must be >= 2 (grams always
+    contain a space, so the empty-string run seed can never collide
+    with a real gram)."""
+    if n < 2:
+        raise ValueError("top_ngram_count requires n >= 2")
+    grams = F.array_sort(word_ngrams(col, n))
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(grams, init, step)["best"]
+
+
+def top_ngram_fraction(col: Column, n: int) -> Column:
+    """Gopher-style top-n-gram fraction: occurrences of the most
+    frequent word n-gram over total n-grams (0.0 when none)."""
+    total = F.size(word_ngrams(col, n))
+    return F.when(
+        total > 0, top_ngram_count(col, n) / total
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint64(col: Column) -> Column:
     """Order-insensitive document fingerprint: xxhash64 over the
     sorted distinct word set — a rolling-hash-style signature that is

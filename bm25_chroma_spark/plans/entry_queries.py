@@ -410,6 +410,80 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1): which
+# n sizes the entry pins — top-gram fraction at 2, duplicated-gram
+# fraction at 3 (the paper's smallest of each family).
+REP_TOP_N = 2
+REP_DUP_N = 3
+
+
+def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition/quality signals: duplicate-line fraction,
+    top-2-gram share, duplicated-3-gram share — all pure JVM
+    expressions (scan-speed, no shuffle)."""
+    from bm25_chroma_spark.functions import text_analysis as ta
+
+    t = F.col("text")
+    return _load_docs(spark, sf_dir).select(
+        "doc_id",
+        ta.line_count(t).cast("int").alias("n_lines"),
+        F.round(ta.duplicate_line_fraction(t), ROUND).alias(
+            "dup_line_frac"
+        ),
+        F.size(ta.word_ngrams(t, REP_TOP_N)).cast("int").alias("n_grams2"),
+        ta.top_ngram_count(t, REP_TOP_N).cast("int").alias("top2_count"),
+        F.round(ta.top_ngram_fraction(t, REP_TOP_N), ROUND).alias(
+            "top2_frac"
+        ),
+        F.size(ta.word_ngrams(t, REP_DUP_N)).cast("int").alias("n_grams3"),
+        ta.duplicate_ngram_count(t, REP_DUP_N).cast("int").alias(
+            "dup3_count"
+        ),
+        F.round(ta.duplicate_ngram_fraction(t, REP_DUP_N), ROUND).alias(
+            "dup3_frac"
+        ),
+    )
+
+
+# Decontamination entry: every 5th doc plays the benchmark/eval set,
+# the rest the training corpus; 8-gram overlap (13 is the published
+# default, but the fixture docs are short word-soup — 8 keeps a
+# meaningful deterministic hit set at sf<=0.01).
+DECON_N = 8
+DECON_MOD = 5
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing an 8-gram with the benchmark subset.
+    hash_grams=False: the oracle joins gram strings, so the entry
+    must be collision-proof by construction (the operator's default
+    xxhash64 keys are the at-scale path)."""
+    from bm25_chroma_spark.operators.decontam import contaminated_docs
+
+    docs = _load_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return contaminated_docs(train, bench, n=DECON_N, hash_grams=False)
+
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = "bm25s"
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold train/val/test assignment; the
+    digest column rides along so the oracle check is bit-exact on
+    the hash itself, not just the derived label."""
+    from bm25_chroma_spark.functions.splits import hash_split
+
+    return hash_split(
+        _load_docs(spark, sf_dir).select("doc_id"),
+        SPLIT_WEIGHTS,
+        salt=SPLIT_SALT,
+        hash_col="h",
+    )
+
+
 def _knn_query_vecs(spark: SparkSession, sf_dir: str):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rows = {
@@ -980,6 +1054,104 @@ SELECT doc_id,
 FROM documents
 """
 
+# rep_signals: n-grams list-wise (DuckDB scalar range() + list slice
+# are 1-based inclusive); the top-gram count goes through unnest +
+# GROUP BY with a LEFT JOIN back so gram-less docs keep a 0. The
+# `+ 0.0` after round() canonicalizes DuckDB's IEEE -0.0.
+_ORACLES["rep_signals"] = rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+         length(trim(text)) = 0 AS blank
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lines,
+         CASE WHEN blank OR len(w) < {REP_TOP_N}
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(
+                     range(1, len(w) - {REP_TOP_N} + 2),
+                     i -> array_to_string(w[i:i+{REP_TOP_N - 1}], ' '))
+         END AS g2,
+         CASE WHEN blank OR len(w) < {REP_DUP_N}
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(
+                     range(1, len(w) - {REP_DUP_N} + 2),
+                     i -> array_to_string(w[i:i+{REP_DUP_N - 1}], ' '))
+         END AS g3
+  FROM base
+),
+f2 AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM f2 GROUP BY doc_id, gram),
+t2 AS (SELECT doc_id, max(c) AS topc FROM c2 GROUP BY doc_id)
+SELECT g.doc_id,
+  len(g.lines)::INT AS n_lines,
+  round(CASE WHEN len(g.lines) > 0
+             THEN (len(g.lines) - len(list_distinct(g.lines)))::DOUBLE
+                  / len(g.lines)
+             ELSE 0.0 END, {ROUND}) + 0.0 AS dup_line_frac,
+  len(g.g2)::INT AS n_grams2,
+  coalesce(t2.topc, 0)::INT AS top2_count,
+  round(CASE WHEN len(g.g2) > 0
+             THEN coalesce(t2.topc, 0)::DOUBLE / len(g.g2)
+             ELSE 0.0 END, {ROUND}) + 0.0 AS top2_frac,
+  len(g.g3)::INT AS n_grams3,
+  (len(g.g3) - len(list_distinct(g.g3)))::INT AS dup3_count,
+  round(CASE WHEN len(g.g3) > 0
+             THEN (len(g.g3) - len(list_distinct(g.g3)))::DOUBLE
+                  / len(g.g3)
+             ELSE 0.0 END, {ROUND}) + 0.0 AS dup3_frac
+FROM g LEFT JOIN t2 USING (doc_id)
+"""
+
+_ORACLES["decontam"] = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+idx AS (
+  SELECT doc_id, unnest(range(1, len(w) - {DECON_N} + 2)) AS i, w
+  FROM toks WHERE len(w) >= {DECON_N}
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+{DECON_N - 1}], ' ') AS gram
+  FROM idx
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_MOD} = 0
+)
+SELECT g.doc_id, count(DISTINCT g.gram)::INT AS n_hit_grams
+FROM grams g JOIN bench USING (gram)
+WHERE g.doc_id % {DECON_MOD} != 0
+GROUP BY g.doc_id
+"""
+
+
+def _hash_split_oracle() -> str:
+    from bm25_chroma_spark.functions.splits import split_thresholds
+
+    ts = split_thresholds(SPLIT_WEIGHTS)
+    whens = " ".join(
+        f"WHEN h < '{bound}' THEN '{name}'" for name, bound in ts[:-1]
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}') AS h
+  FROM documents
+)
+SELECT doc_id,
+       CASE {whens} ELSE '{ts[-1][0]}' END AS split,
+       h
+FROM d
+"""
+
+
+_ORACLES["hash_split"] = _hash_split_oracle()
+
 
 def _knn_oracle() -> str:
     qsel = ", ".join(str(i) for i in KNN_QUERY_IDS)
@@ -1446,6 +1618,9 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "seq_packing": q_seq_packing,
+        "rep_signals": q_rep_signals,
+        "decontam": q_decontam,
+        "hash_split": q_hash_split,
         # vector family
         "embed_corpus": q_embed_corpus,
         "knn_topk": q_knn_topk,

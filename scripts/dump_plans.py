@@ -152,6 +152,50 @@ def main() -> None:
         ),
     ))
 
+    from bm25_chroma_spark.operators.decontam import contaminated_docs
+
+    bench_docs = docs.filter(docs["doc_id"] % 5 == 0)
+    train_docs = docs.filter(docs["doc_id"] % 5 != 0)
+    sections.append((
+        "Benchmark decontamination: benchmark n-grams dedup'd and "
+        "BROADCAST (eval sets are tiny by construction); the corpus "
+        "side is a narrow JVM n-gram explode pipelined straight into "
+        "the BroadcastHashJoin — rows matching no benchmark gram die "
+        "in the join, so the only shuffle is the per-doc count over "
+        "the rare matches; xxhash64 gram keys keep the exchange at 8 "
+        "bytes/row",
+        explain_str(contaminated_docs(train_docs, bench_docs, n=8)),
+    ))
+
+    from bm25_chroma_spark.functions.splits import hash_split
+    from bm25_chroma_spark.functions import text_analysis as ta
+    from pyspark.sql import functions as F
+
+    sections.append((
+        "Repetition signals + deterministic split: the whole Gopher "
+        "battery (duplicate-line fraction, top-2-gram share, "
+        "duplicated-3-gram share) plus the md5-threshold split label "
+        "in ONE pass — zero Exchanges, pure JVM expressions, runs at "
+        "scan speed over 100 TB",
+        explain_str(
+            hash_split(
+                docs.select(
+                    "doc_id",
+                    F.round(
+                        ta.duplicate_line_fraction(F.col("text")), 6
+                    ).alias("dup_line_frac"),
+                    F.round(
+                        ta.top_ngram_fraction(F.col("text"), 2), 6
+                    ).alias("top2_frac"),
+                    F.round(
+                        ta.duplicate_ngram_fraction(F.col("text"), 3), 6
+                    ).alias("dup3_frac"),
+                ),
+                {"train": 0.9, "val": 0.05, "test": 0.05},
+            )
+        ),
+    ))
+
     from bm25_chroma_spark.plans.retriever import SparkHybridRetriever
 
     r = SparkHybridRetriever(spark, tempfile.mkdtemp() + "/ret_state")

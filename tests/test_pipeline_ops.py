@@ -1,0 +1,279 @@
+"""Repetition signals, decontamination, and deterministic splits —
+the Gopher-rule / GPT-3-appendix-C family of training-data pipeline
+operators (public recipes; no reference-repo counterpart)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25_chroma_spark.functions.splits import (
+    hash_sample,
+    hash_split,
+    split_thresholds,
+)
+from bm25_chroma_spark.functions.text_analysis import (
+    duplicate_line_fraction,
+    duplicate_ngram_count,
+    duplicate_ngram_fraction,
+    line_count,
+    top_ngram_count,
+    top_ngram_fraction,
+    word_ngrams,
+)
+from bm25_chroma_spark.operators.decontam import (
+    contaminated_docs,
+    doc_ngrams_df,
+    purge_contaminated,
+)
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+# ----------------------------------------------------------------- #
+# word_ngrams / repetition signals                                   #
+# ----------------------------------------------------------------- #
+
+
+def test_word_ngrams_basic(spark):
+    assert _one(spark, "a b c d", word_ngrams(F.col("text"), 2)) == [
+        "a b", "b c", "c d",
+    ]
+    assert _one(spark, "a b c d", word_ngrams(F.col("text"), 4)) == [
+        "a b c d",
+    ]
+    # fewer words than n -> empty, NOT a descending-sequence blowup
+    assert _one(spark, "a b c", word_ngrams(F.col("text"), 4)) == []
+    assert _one(spark, "", word_ngrams(F.col("text"), 2)) == []
+    assert _one(spark, "   ", word_ngrams(F.col("text"), 2)) == []
+    # normalization: lowercase + whitespace collapse
+    assert _one(spark, "  A\t b\nC ", word_ngrams(F.col("text"), 2)) == [
+        "a b", "b c",
+    ]
+
+
+def test_word_ngrams_rejects_bad_n():
+    with pytest.raises(ValueError):
+        word_ngrams(F.col("text"), 0)
+    with pytest.raises(ValueError):
+        top_ngram_count(F.col("text"), 1)
+
+
+def test_duplicate_line_fraction(spark):
+    text = "alpha line\nbeta line\nalpha line\n\n   \nalpha line"
+    # 4 non-blank lines, 2 distinct -> 2/4 duplicates
+    assert _one(spark, text, line_count(F.col("text"))) == 4
+    assert _one(
+        spark, text, duplicate_line_fraction(F.col("text"))
+    ) == pytest.approx(0.5)
+    assert _one(spark, "", duplicate_line_fraction(F.col("text"))) == 0.0
+    assert _one(spark, "one line", line_count(F.col("text"))) == 1
+
+
+def _py_ngrams(text: str, n: int) -> list[str]:
+    toks = text.strip().lower().split()
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_repetition_signals_match_python_counter(spark):
+    rng = random.Random(7)
+    vocab = ["ab", "cd", "ef", "gh", "ij"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    rows += [(100, ""), (101, "   "), (102, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        got = {
+            r["doc_id"]: (r["top"], r["dupc"], r["topf"], r["dupf"])
+            for r in df.select(
+                "doc_id",
+                top_ngram_count(F.col("text"), n).alias("top"),
+                duplicate_ngram_count(F.col("text"), n).alias("dupc"),
+                top_ngram_fraction(F.col("text"), n).alias("topf"),
+                duplicate_ngram_fraction(F.col("text"), n).alias("dupf"),
+            ).collect()
+        }
+        for doc_id, text in rows:
+            grams = _py_ngrams(text, n)
+            c = Counter(grams)
+            top = max(c.values()) if c else 0
+            dupc = len(grams) - len(c)
+            topf = top / len(grams) if grams else 0.0
+            dupf = dupc / len(grams) if grams else 0.0
+            assert got[doc_id][0] == top, (doc_id, n)
+            assert got[doc_id][1] == dupc, (doc_id, n)
+            assert got[doc_id][2] == pytest.approx(topf), (doc_id, n)
+            assert got[doc_id][3] == pytest.approx(dupf), (doc_id, n)
+
+
+# ----------------------------------------------------------------- #
+# decontamination                                                    #
+# ----------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def decon_corpus(spark):
+    bench_rows = [
+        (0, "what is the capital city of france paris obviously"),
+        (1, "two plus two equals four in every standard arithmetic"),
+    ]
+    train_rows = [
+        # contains benchmark 0's 5-gram span verbatim
+        (10, "intro text what is the capital city of france outro"),
+        # contains benchmark 1's span TWICE (distinct-gram counting)
+        (11, "two plus two equals four padding two plus two equals four"),
+        (12, "completely unrelated document about spark physical plans"),
+        (13, ""),
+    ]
+    return (
+        spark.createDataFrame(bench_rows, "doc_id long, text string"),
+        spark.createDataFrame(train_rows, "doc_id long, text string"),
+    )
+
+
+def test_contaminated_docs_finds_spans(spark, decon_corpus):
+    bench, train = decon_corpus
+    out = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in contaminated_docs(train, bench, n=5).collect()
+    }
+    # doc 10 shares 3 distinct 5-grams with bench 0 ("what is the
+    # capital city" / "is the capital city of" / "the capital city of
+    # france"); doc 11 shares bench 1's leading 5-gram "two plus two
+    # equals four" only once DISTINCT even though it occurs twice.
+    assert set(out) == {10, 11}
+    assert out[10] == 3
+    assert out[11] == 1
+    # clean docs untouched, contaminated purged
+    purged = purge_contaminated(
+        train, contaminated_docs(train, bench, n=5)
+    )
+    assert sorted(r["doc_id"] for r in purged.collect()) == [12, 13]
+
+
+def test_contaminated_docs_hash_vs_string_parity(spark, decon_corpus):
+    bench, train = decon_corpus
+    a = sorted(
+        tuple(r)
+        for r in contaminated_docs(train, bench, n=5, hash_grams=True)
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in contaminated_docs(train, bench, n=5, hash_grams=False)
+        .collect()
+    )
+    assert a == b
+
+
+def test_contaminated_docs_broadcasts_benchmark(spark, decon_corpus):
+    bench, train = decon_corpus
+    plan = (
+        contaminated_docs(train, bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_ngrams_df_narrow(spark, decon_corpus):
+    _, train = decon_corpus
+    df = doc_ngrams_df(train, 5)
+    assert df.columns == ["doc_id", "gram"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow map, no shuffle
+
+
+# ----------------------------------------------------------------- #
+# deterministic splits / sampling                                    #
+# ----------------------------------------------------------------- #
+
+
+def _py_split(doc_id: int, weights: dict, salt: str) -> str:
+    h = hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()
+    for name, bound in split_thresholds(weights)[:-1]:
+        if h < bound:
+            return name
+    return list(weights)[-1]
+
+
+def test_hash_split_matches_python_md5(spark):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, weights, salt="s1").collect()
+    }
+    for i in range(500):
+        assert got[i] == _py_split(i, weights, "s1"), i
+
+
+def test_hash_split_proportions_and_determinism(spark):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, weights, salt="z").groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in out.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] == pytest.approx(3200, rel=0.05)
+    assert counts["val"] == pytest.approx(400, rel=0.25)
+    # same salt -> identical assignment; different salt -> different
+    a = hash_split(df, weights, salt="z").collect()
+    b = hash_split(df, weights, salt="z").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, weights, salt="other").collect()
+    }
+    a_map = {r["doc_id"]: r["split"] for r in a}
+    assert any(a_map[i] != c[i] for i in range(4000))
+
+
+def test_hash_split_weight_normalization(spark):
+    # weights need not sum to 1 — {8, 1, 1} == {0.8, 0.1, 0.1}
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, {"a": 8.0, "b": 1.0, "c": 1.0}, salt="n").collect()
+    b = hash_split(
+        df, {"a": 0.8, "b": 0.1, "c": 0.1}, salt="n"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError):
+        split_thresholds({})
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.0})
+
+
+def test_hash_sample_nested_subsets(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in hash_sample(df, 0.1, salt="q").collect()}
+    s50 = {r["doc_id"] for r in hash_sample(df, 0.5, salt="q").collect()}
+    assert s10 <= s50  # same salt -> nested (scaling-law chains)
+    assert len(s10) == pytest.approx(200, rel=0.3)
+    assert len(s50) == pytest.approx(1000, rel=0.1)
+    assert hash_sample(df, 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        hash_sample(df, 1.5)
+
+
+def test_hash_split_agrees_with_sample_boundary(spark):
+    # hash_sample(f) == the first split of hash_split({a: f, b: 1-f})
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    f = 0.3
+    sample_ids = {
+        r["doc_id"] for r in hash_sample(df, f, salt="e").collect()
+    }
+    split_ids = {
+        r["doc_id"]
+        for r in hash_split(df, {"a": f, "b": 1 - f}, salt="e")
+        .filter(F.col("split") == "a")
+        .collect()
+    }
+    assert sample_ids == split_ids
