@@ -275,6 +275,39 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         sim_probe().collect()
         sim_trials.append(time.time() - t0)
     timings["simhash_100k"] = sorted(sim_trials)[1]  # median of 3
+
+    # 6c. Pipeline-signal throughput over the same materialized 100k
+    # corpus: the r6 one-pass family — Gopher repetition signals +
+    # PII redaction + md5-threshold split — all pure JVM expressions
+    # (the plan is Scan -> Project -> partial/final agg; no Python, no
+    # wide shuffle). Fresh plan per pass, median of 3, same protocol
+    # as simhash_100k.
+    from bm25_chroma_spark.functions import text_analysis as ta
+    from bm25_chroma_spark.functions.splits import hash_split
+
+    def pipe_probe():
+        t = F.col("text")
+        base = spark.read.parquet(sim_src).select(
+            "doc_id",
+            ta.top_ngram_count(t, 2).alias("t2"),
+            ta.duplicate_ngram_count(t, 3).alias("d3"),
+            F.length(ta.redact_pii(t)).alias("rl"),
+        )
+        return hash_split(
+            base, {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).groupBy("split").agg(
+            F.sum("t2").alias("t2"),
+            F.sum("d3").alias("d3"),
+            F.sum("rl").alias("rl"),
+        )
+
+    pipe_probe().collect()  # warm codegen
+    pipe_trials = []
+    for _ in range(3):
+        t0 = time.time()
+        pipe_probe().collect()
+        pipe_trials.append(time.time() - t0)
+    timings["pipeline_100k"] = sorted(pipe_trials)[1]  # median of 3
     shutil.rmtree(sim_src, ignore_errors=True)
 
     # 7. WAND WIN regime: 1M tiny docs where block skipping ENGAGES —

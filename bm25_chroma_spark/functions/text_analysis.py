@@ -126,14 +126,25 @@ def word_ngrams(col: Column, n: int) -> Column:
     if n < 1:
         raise ValueError("n must be >= 1")
     toks = _words(col)
-    # F.slice(toks, 1, 0) is a typed empty array<string>; F.sequence
-    # would generate a DESCENDING range when size < n, so the guard
-    # is load-bearing, not cosmetic.
+    # F.slice(toks, 1, 0) is a typed empty array<string>.
     empty = F.slice(toks, 1, 0)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    # Build grams by zipping n shifted views of the token array.
+    # The obvious transform(sequence(1, G), i -> array_join(slice(
+    # toks, i, n))) is QUADRATIC: higher-order functions are
+    # interpreted (CodegenFallback), so the lambda body — which
+    # closes over the full split(trim(lower(text))) subtree — would
+    # re-tokenize the document once PER GRAM (measured 10s/20k docs
+    # at 125 words avg vs 0.5s for this form). zip_with lambdas only
+    # touch their bound element variables, so the token array is
+    # evaluated O(n) times per document, never per gram.
+    m = F.size(toks) - (n - 1)  # gram count (>=1 inside the guard)
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return (
         F.when(F.length(F.trim(col)) == 0, empty)
         .when(F.size(toks) >= n, grams)
@@ -208,6 +219,87 @@ def fingerprint_hex(col: Column) -> Column:
     fingerprint, reproducible in DuckDB for oracle checks."""
     return F.md5(
         F.array_join(F.array_sort(F.array_distinct(_words(col))), " ")
+    )
+
+
+# PII patterns (redaction order matters: the phone pattern would
+# otherwise swallow dotted IPs — emails first, then IPs, then phones).
+# RE2 (DuckDB oracle) and Java (Spark) agree on these constructs for
+# ASCII input: no lookaround, no backreferences, \b is ASCII.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-shaped digit runs
+    with typed placeholders — the standard scrub pass before training
+    on scraped text. Chained JVM regexp_replace: scan-speed, no
+    Python, no shuffle."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-type PII match counts (email, ip, phone) —
+    counted in redaction order on the progressively redacted text so
+    the counts agree with what redact_pii actually replaces."""
+    fields = []
+    cur = col
+    for name, pat, repl in PII_PATTERNS:
+        fields.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("int")
+            .alias(name)
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return F.struct(*fields)
+
+
+def chunk_documents(
+    df,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split each document into consecutive <=max_tokens word chunks
+    -> (id_col, chunk_idx int, n_tokens int, chunk_text) — the
+    pre-packing stage for LLM training (pack_sequences bins the
+    resulting pieces). Empty/blank docs yield zero chunks.
+
+    One narrow pass: a JVM expression slices the token array into
+    ceil(n/max) pieces and posexplode emits them — no shuffle, no
+    Python, composes with predicate pushdown at 100 TB.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    toks = _words(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(max_tokens)).cast("int")
+    pieces = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.slice(toks, 1, 0)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * max_tokens + 1, max_tokens), " "
+            ),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(pieces).alias("chunk_idx", "chunk_text")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("int").alias(
+            "n_tokens"
+        ),
+        "chunk_text",
     )
 
 

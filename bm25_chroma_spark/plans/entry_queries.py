@@ -466,6 +466,47 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_docs(train, bench, n=DECON_N, hash_grams=False)
 
 
+CHUNK_MAX = 16
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents split into consecutive <=16-word chunks (the
+    pre-packing stage; 16 keeps several chunks per fixture doc)."""
+    from bm25_chroma_spark.functions.text_analysis import chunk_documents
+
+    return chunk_documents(
+        _load_docs(spark, sf_dir), max_tokens=CHUNK_MAX
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically injected PII (the fixture has
+    none): both engines append the same synthetic email/IP/phone to
+    each doc, then count + redact; the redacted text rides as md5 so
+    the hash check covers the full replacement output."""
+    from bm25_chroma_spark.functions import text_analysis as ta
+
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.1.2."),
+        F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+        F.lit(" call +1 (555) 010-"),
+        F.lpad(
+            F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"
+        ),
+    )
+    counts = ta.pii_counts(injected)
+    return _load_docs(spark, sf_dir).select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ip"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+        F.md5(ta.redact_pii(injected)).alias("red_md5"),
+    )
+
+
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SALT = "bm25s"
 
@@ -1130,6 +1171,76 @@ GROUP BY g.doc_id
 """
 
 
+_ORACLES["doc_chunks"] = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id,
+         unnest(range(0, cast(ceil(len(w) / {CHUNK_MAX}.0) AS INT)))
+           AS chunk_idx,
+         w
+  FROM toks
+)
+SELECT doc_id,
+       chunk_idx::INT AS chunk_idx,
+       len(w[chunk_idx * {CHUNK_MAX} + 1
+             : chunk_idx * {CHUNK_MAX} + {CHUNK_MAX}])::INT AS n_tokens,
+       array_to_string(
+         w[chunk_idx * {CHUNK_MAX} + 1
+           : chunk_idx * {CHUNK_MAX} + {CHUNK_MAX}], ' ') AS chunk_text
+FROM c
+"""
+
+
+def _pii_oracle() -> str:
+    from bm25_chroma_spark.functions.text_analysis import PII_PATTERNS
+
+    pats = {name: (pat, repl) for name, pat, repl in PII_PATTERNS}
+    email_re, email_sub = pats["email"]
+    ip_re, ip_sub = pats["ip"]
+    phone_re, phone_sub = pats["phone"]
+    # pmod mirror: DuckDB % is sign-preserving, double-mod matches
+    # Spark's F.pmod for any id sign.
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ip 10.1.2.'
+              || CAST(((doc_id % 250) + 250) % 250 AS VARCHAR)
+              || ' call +1 (555) 010-'
+              || lpad(CAST(((doc_id % 10000) + 10000) % 10000
+                           AS VARCHAR), 4, '0') AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{email_re}')) AS n_email,
+         regexp_replace(t, '{email_re}', '{email_sub}', 'g') AS t1
+  FROM inj
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{ip_re}')) AS n_ip,
+         regexp_replace(t1, '{ip_re}', '{ip_sub}', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t2, '{phone_re}')) AS n_phone,
+         regexp_replace(t2, '{phone_re}', '{phone_sub}', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_email::INT AS n_email, n_ip::INT AS n_ip,
+       n_phone::INT AS n_phone, md5(t3) AS red_md5
+FROM s3
+"""
+
+
+_ORACLES["pii_redact"] = _pii_oracle()
+
+
 def _hash_split_oracle() -> str:
     from bm25_chroma_spark.functions.splits import split_thresholds
 
@@ -1621,6 +1732,8 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_signals": q_rep_signals,
         "decontam": q_decontam,
         "hash_split": q_hash_split,
+        "doc_chunks": q_doc_chunks,
+        "pii_redact": q_pii_redact,
         # vector family
         "embed_corpus": q_embed_corpus,
         "knn_topk": q_knn_topk,

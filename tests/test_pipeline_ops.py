@@ -17,10 +17,13 @@ from bm25_chroma_spark.functions.splits import (
     split_thresholds,
 )
 from bm25_chroma_spark.functions.text_analysis import (
+    chunk_documents,
     duplicate_line_fraction,
     duplicate_ngram_count,
     duplicate_ngram_fraction,
     line_count,
+    pii_counts,
+    redact_pii,
     top_ngram_count,
     top_ngram_fraction,
     word_ngrams,
@@ -261,6 +264,78 @@ def test_hash_sample_nested_subsets(spark):
     assert hash_sample(df, 1.0).count() == 2000
     with pytest.raises(ValueError):
         hash_sample(df, 1.5)
+
+
+# ----------------------------------------------------------------- #
+# chunking / PII redaction                                           #
+# ----------------------------------------------------------------- #
+
+
+def test_chunk_documents_matches_python(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(n)))
+        for i, n in enumerate([0, 1, 4, 5, 6, 13, 40])
+    ]
+    rows.append((99, "   "))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=5).collect()
+    )
+    exp = []
+    for doc_id, text in rows:
+        toks = text.strip().lower().split()
+        for ci in range((len(toks) + 4) // 5):
+            piece = toks[ci * 5:(ci + 1) * 5]
+            exp.append((doc_id, ci, len(piece), " ".join(piece)))
+    assert got == sorted(exp)
+    # every chunk respects the budget; reassembly loses nothing
+    assert all(t <= 5 for _, _, t, _ in got)
+
+
+def test_chunk_documents_reassembles(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    chunks = chunk_documents(docs, max_tokens=7)
+    rejoined = {
+        r["doc_id"]: r["whole"]
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("whole")
+        )
+        .collect()
+    }
+    for r in docs.collect():
+        norm = " ".join(r["text"].strip().lower().split())
+        if norm:
+            assert rejoined[r["doc_id"]] == norm
+
+
+def test_chunk_documents_rejects_bad_budget(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+
+
+def test_redact_pii(spark):
+    text = (
+        "mail alice.smith+x@sub.example.org or bob@ex.co, "
+        "server 192.168.0.1, call +1 (555) 010-1234 now"
+    )
+    red = _one(spark, text, redact_pii(F.col("text")))
+    assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+    assert "alice" not in red and "192.168" not in red
+    assert "555" not in red
+    c = _one(spark, text, pii_counts(F.col("text")))
+    assert (c["email"], c["ip"], c["phone"]) == (2, 1, 1)
+    # the IP is NOT double-counted as a phone (redaction order)
+    clean = "no pii here just words"
+    assert _one(spark, clean, redact_pii(F.col("text"))) == clean
 
 
 def test_hash_split_agrees_with_sample_boundary(spark):
