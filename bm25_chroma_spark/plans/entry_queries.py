@@ -879,23 +879,45 @@ sh AS (SELECT doc_id,
        FROM w)
 """
 
+def _affine_values_sql(num_hashes: int) -> str:
+    from bm25_chroma_spark.operators.dedup import _affine_params
+
+    return ", ".join(
+        f"({h}, {a}, {b})"
+        for h, (a, b) in enumerate(_affine_params(num_hashes))
+    )
+
+
+# Per-shingle base hash: first 13 md5 hex chars as a 52-bit integer
+# (shift-add — exact in BIGINT; Spark mirrors with conv(substr(md5),
+# 16, 10)), reduced mod 2^31-1 for ANSI-overflow-safe affine maps.
+_SQL_BASE_HASH = (
+    "(list_sum(list_transform(range(1, 14), "
+    "i -> ((strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)::BIGINT"
+    " << (4 * (13 - i)))))::BIGINT % 2147483647)"
+)
+
 _ORACLES["minhash_sigs"] = f"""
-WITH {_SQL_SHINGLES}
+WITH {_SQL_SHINGLES},
+params(h, a, b) AS (VALUES {_affine_values_sql(MINHASH_K)}),
+sb AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hb AS (SELECT doc_id, {_SQL_BASE_HASH} AS hb FROM sb)
 SELECT doc_id, h::INT AS h,
-       min(md5(concat(h, ':', s))) AS sig
-FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
-CROSS JOIN range(0, {MINHASH_K}) AS t(h)
+       min((a * hb + b) % 2147483647)::BIGINT AS sig
+FROM hb CROSS JOIN params
 GROUP BY doc_id, h
 """
 
-# MinHash-LSH banding, mirrored bit-for-bit: md5(i||':'||shingle)
-# signatures, sha256 over '|'-joined per-band slices, pairs via
-# (band, band_hash) equality. Depends on the `sh` CTE (_SQL_SHINGLES).
+# MinHash-LSH banding, mirrored bit-for-bit: universal-hash affine
+# signatures over the md5-prefix base hash, sha256 over '|'-joined
+# per-band slices, pairs via (band, band_hash) equality. Depends on
+# the `sh` CTE (_SQL_SHINGLES).
 _SQL_LSH_CAND = f"""
-hs AS (SELECT doc_id, h, min(md5(concat(h, ':', s))) AS msig
-       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
-       CROSS JOIN range(0, {LSH_HASHES}) AS t(h)
-       GROUP BY doc_id, h),
+lparams(h, a, b) AS (VALUES {_affine_values_sql(LSH_HASHES)}),
+sb AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hb AS (SELECT doc_id, {_SQL_BASE_HASH} AS hb FROM sb),
+hs AS (SELECT doc_id, h, min((a * hb + b) % 2147483647) AS msig
+       FROM hb CROSS JOIN lparams GROUP BY doc_id, h),
 sigarr AS (SELECT doc_id, list(msig ORDER BY h) AS sig
            FROM hs GROUP BY doc_id),
 bands AS (SELECT doc_id, b.b AS band,

@@ -66,6 +66,57 @@ def test_minhash_lsh_finds_near_dups(spark, corpus):
     assert (1, 4) not in pairs  # unrelated docs don't
 
 
+def test_minhash_signature_matches_python(spark):
+    """Pin the universal-hash MinHash construction value-for-value:
+    base = first 13 md5 hex chars of the shingle mod 2^31-1,
+    sig[i] = min over shingles of (a_i*base + b_i) mod 2^31-1."""
+    import hashlib
+
+    from bm25_chroma_spark.operators.dedup import (
+        _MERSENNE31,
+        _affine_params,
+        minhash_signature,
+        word_shingles,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b",          # fewer words than k -> one truncated shingle
+        "solo",
+        "",             # blank -> the single "" shingle
+        "dup dup dup dup",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            minhash_signature(
+                word_shingles(F.col("text"), k=3), 8
+            ).alias("s"),
+        ).collect()
+    }
+    params = _affine_params(8)
+    for doc_id, text in enumerate(texts):
+        toks = text.strip().lower().split() or [""]
+        shingles = {
+            " ".join(toks[i:i + 3])
+            for i in range(max(len(toks) - 3, 0) + 1)
+        }
+        bases = [
+            int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+            % _MERSENNE31
+            for s in shingles
+        ]
+        exp = [
+            min((a * h + b) % _MERSENNE31 for h in bases)
+            for a, b in params
+        ]
+        assert got[doc_id] == exp, (doc_id, text)
+
+
 def test_ngram_jaccard_exact_values(spark, corpus):
     all_pairs = spark.createDataFrame(
         [(1, 2), (1, 4)], "id_a long, id_b long"
