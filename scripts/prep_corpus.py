@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""spark-submit entry point: prepare a raw documents table for LLM
+training in one job, composed from the pipeline operators:
+
+  1. ANNOTATE — language ID, quality score, token count, Gopher
+     repetition signals (duplicate-line / top-2-gram / dup-3-gram
+     fractions), PII counts. One narrow JVM-expression pass.
+  2. REDACT — emails / IPv4s / phone-shaped runs replaced with typed
+     placeholders (--no-redact to keep raw text).
+  3. FILTER — drop docs failing --langs / --min-quality /
+     --min-tokens / --max-tokens / --max-top2-frac / --max-dup3-frac.
+     Every drop reason is counted in the report (one aggregate job,
+     not one count() per rule).
+  4. DECONTAMINATE (optional) — drop docs sharing an n-gram with
+     --benchmark (broadcast shared-n-gram flagging).
+  5. SPLIT — deterministic md5-threshold train/val/test labels
+     (--weights, --salt), written with partitionBy(split) so readers
+     prune.
+
+Everything except the optional decontamination join is map-side, so
+the job is one corpus scan + one partitioned write at any scale.
+
+Usage (local smoke):
+  python scripts/prep_corpus.py \
+      --input /root/testdata/sf0.01/documents.parquet \
+      --output /tmp/prepped --report /tmp/prep_report.json
+
+Cluster:
+  spark-submit --py-files bm25_chroma_spark.zip scripts/prep_corpus.py \
+      --input s3://corpus/documents --output s3://corpus/prepped \
+      --benchmark s3://corpus/eval_sets --min-quality 0.3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--output", required=True,
+                   help="output parquet root (partitioned by split)")
+    p.add_argument("--report", help="write a JSON metrics report here")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--langs", default="",
+                   help="comma-separated lang codes to keep (empty = all)")
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--min-tokens", type=int, default=0)
+    p.add_argument("--max-tokens", type=int, default=0,
+                   help="0 = unbounded")
+    p.add_argument("--max-top2-frac", type=float, default=1.0,
+                   help="drop docs whose most frequent 2-gram exceeds "
+                        "this share (Gopher rule)")
+    p.add_argument("--max-dup3-frac", type=float, default=1.0,
+                   help="drop docs whose duplicated-3-gram share "
+                        "exceeds this")
+    p.add_argument("--no-redact", action="store_true",
+                   help="keep raw text instead of PII-redacted")
+    p.add_argument("--benchmark",
+                   help="benchmark/eval parquet (same text column); "
+                        "docs sharing an n-gram are dropped")
+    p.add_argument("--decon-n", type=int, default=13)
+    p.add_argument("--weights", default="train=0.9,val=0.05,test=0.05")
+    p.add_argument("--salt", default="")
+    p.add_argument("--cores", type=int, default=4)
+    p.add_argument("--shuffle-partitions", type=int, default=8)
+    return p
+
+
+def _parse_weights(spec: str) -> dict:
+    out = {}
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        out[name.strip()] = float(w)
+    return out
+
+
+def run(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from bm25_chroma_spark.functions import text_analysis as ta
+    from bm25_chroma_spark.functions.splits import hash_split
+    from bm25_chroma_spark.operators.decontam import (
+        contaminated_docs,
+        purge_contaminated,
+    )
+    from bm25_chroma_spark.session import get_spark
+
+    spark = get_spark(
+        "prep-corpus",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    docs = spark.read.parquet(args.input)
+    t = F.col(args.text_col)
+
+    annotated = docs.select(
+        F.col(args.id_col),
+        (t if args.no_redact else ta.redact_pii(t)).alias(args.text_col),
+        ta.lang_id(t).alias("lang_pred"),
+        ta.quality_score(t).alias("quality"),
+        ta.token_count_ws(t).cast("int").alias("n_tokens"),
+        ta.duplicate_line_fraction(t).alias("dup_line_frac"),
+        ta.top_ngram_fraction(t, 2).alias("top2_frac"),
+        ta.duplicate_ngram_fraction(t, 3).alias("dup3_frac"),
+        ta.pii_counts(t).alias("pii"),
+    )
+
+    keep_langs = [x for x in args.langs.split(",") if x]
+    rules = {
+        "lang": F.col("lang_pred").isin(keep_langs)
+        if keep_langs
+        else F.lit(True),
+        "quality": F.col("quality") >= args.min_quality,
+        "min_tokens": F.col("n_tokens") >= args.min_tokens,
+        "max_tokens": F.lit(True)
+        if not args.max_tokens
+        else F.col("n_tokens") <= args.max_tokens,
+        "top2": F.col("top2_frac") <= args.max_top2_frac,
+        "dup3": F.col("dup3_frac") <= args.max_dup3_frac,
+    }
+    flagged = annotated
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        flagged = flagged.withColumn(f"_ok_{name}", cond)
+        keep = keep & F.col(f"_ok_{name}")
+    flagged = flagged.withColumn("_keep", keep)
+
+    # one aggregate job for the whole report (no count() per rule)
+    stats_row = flagged.agg(
+        F.count("*").alias("input_docs"),
+        F.sum(F.col("_keep").cast("long")).alias("kept"),
+        *[
+            F.sum((~F.col(f"_ok_{name}")).cast("long")).alias(
+                f"dropped_{name}"
+            )
+            for name in rules
+        ],
+        F.sum("pii.email").alias("pii_emails"),
+        F.sum("pii.ip").alias("pii_ips"),
+        F.sum("pii.phone").alias("pii_phones"),
+    ).collect()[0]
+    report = {k: (int(v) if v is not None else 0)
+              for k, v in stats_row.asDict().items()}
+
+    kept = flagged.filter("_keep").drop(
+        "_keep", *[f"_ok_{n}" for n in rules]
+    )
+
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        flaggods = contaminated_docs(
+            kept,
+            bench,
+            n=args.decon_n,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        n_contaminated = flaggods.count()
+        kept = purge_contaminated(kept, flaggods, id_col=args.id_col)
+        report["dropped_contaminated"] = int(n_contaminated)
+
+    weights = _parse_weights(args.weights)
+    final = hash_split(
+        kept, weights, id_col=args.id_col, salt=args.salt
+    )
+    final.write.mode("overwrite").partitionBy("split").parquet(
+        args.output
+    )
+    out = spark.read.parquet(args.output)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    report["splits"] = split_counts
+    report["output_docs"] = int(sum(split_counts.values()))
+    return report
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    report = run(args)
+    if args.report:
+        Path(args.report).write_text(json.dumps(report, indent=2))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

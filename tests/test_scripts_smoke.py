@@ -145,3 +145,72 @@ def test_ann_index_build_then_query(spark, tmp_path, monkeypatch, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     top = res["results"]["0"][0]
     assert top["vec_id"] == 3 and top["dist"] < 1e-9
+
+
+def test_prep_corpus_pipeline(spark, tmp_path, monkeypatch):
+    """scripts/prep_corpus.py end-to-end: annotate -> redact ->
+    filter (per-rule drop counts) -> decontaminate -> split, written
+    partitioned by split, with a consistent JSON report."""
+    import json
+    import sys
+
+    import scripts.prep_corpus as pc
+
+    good = (
+        "the quick brown fox is one of the many animals that it "
+        "jumps over for the fun of it in the story "
+    )
+    rows = [
+        (1, good + "alpha beta gamma delta epsilon zeta"),
+        (2, good + "omega psi chi phi upsilon tau contact "
+            "bob@example.com today"),
+        (3, "x " * 3),                     # too few tokens
+        (4, "spam spam spam spam spam spam spam spam spam spam "
+            "spam spam spam spam spam spam spam spam spam spam"),
+        (5, good + "shared span kappa lambda mu nu xi omicron pi "
+            "rho sigma"),                  # contaminated (see bench)
+    ]
+    bench_rows = [
+        (100, "totally different preamble shared span kappa lambda "
+              "mu nu xi omicron pi rho sigma closing words here"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        src
+    )
+    spark.createDataFrame(
+        bench_rows, "doc_id long, text string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "prepped")
+    rpt = str(tmp_path / "prep_report.json")
+
+    monkeypatch.setattr(sys, "argv", [
+        "prep_corpus.py", "--input", src, "--output", out,
+        "--report", rpt, "--benchmark", bench, "--decon-n", "8",
+        "--min-tokens", "5", "--max-top2-frac", "0.5",
+        "--weights", "train=0.5,val=0.25,test=0.25", "--salt", "s",
+    ])
+    pc.main()
+
+    report = json.loads(open(rpt).read())
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.collect()}
+    # 3 dropped by min_tokens, 4 by the top-2-gram rule ("spam spam"
+    # is every 2-gram), 5 by decontamination -> 1 and 2 survive
+    assert ids == {1, 2}
+    assert report["input_docs"] == 5
+    assert report["dropped_min_tokens"] == 1
+    # rule counts are independent, not exclusive: doc 3's only
+    # 2-gram ("x x") also repeats, so it fails top2 AND min_tokens
+    assert report["dropped_top2"] == 2
+    assert report["dropped_contaminated"] == 1
+    assert report["output_docs"] == 2
+    assert sum(report["splits"].values()) == 2
+    # PII was counted and redacted
+    assert report["pii_emails"] == 1
+    texts = {r["doc_id"]: r["text"] for r in got.collect()}
+    assert "bob@example.com" not in texts[2]
+    assert "<EMAIL>" in texts[2]
+    # split column is a partition column readers can prune on
+    assert "split" in got.columns
