@@ -266,6 +266,84 @@ def test_hash_sample_nested_subsets(spark):
         hash_sample(df, 1.5)
 
 
+def _spark_words_model(text: str) -> list[str]:
+    """Exact Python mirror of the engine's `_words` expression:
+    F.trim strips ASCII SPACE only (not tabs/newlines), and Spark's
+    split(regex) keeps leading AND trailing empty strings (Java limit
+    -1) — str.strip()/str.split() would diverge on those edges."""
+    import re
+
+    return re.split(r"\s+", text.strip(" ").lower())
+
+
+def test_ngram_shingle_minhash_adversarial_fuzz(spark):
+    """One-job seeded fuzz over adversarial ASCII (leading tabs,
+    trailing newlines, punctuation runs, empties) pinning word_ngrams,
+    word_shingles, and minhash_signature against exact Python models
+    of the Spark string semantics."""
+    import hashlib
+
+    from bm25_chroma_spark.operators.dedup import (
+        _MERSENNE31,
+        _affine_params,
+        minhash_signature,
+        word_shingles,
+    )
+
+    rng = random.Random(23)
+    alphabet = list("abz019 .,-!") + ["\t", "\n", "\r", "  "]
+    texts = ["", " ", "\t", "a\t", "\tleading tab", "trail\n", "x"]
+    texts += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            word_ngrams(F.col("text"), 2).alias("g2"),
+            word_ngrams(F.col("text"), 3).alias("g3"),
+            word_shingles(F.col("text"), k=3).alias("sh"),
+            minhash_signature(
+                word_shingles(F.col("text"), k=3), 4
+            ).alias("sig"),
+        ).collect()
+    }
+    params = _affine_params(4)
+    for doc_id, text in enumerate(texts):
+        toks = _spark_words_model(text)
+        blank = len(text.strip(" ")) == 0
+        for n, col in ((2, "g2"), (3, "g3")):
+            exp = (
+                []
+                if blank or len(toks) < n
+                else [
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+            )
+            assert got[doc_id][col] == exp, (doc_id, repr(text), n)
+        # shingles: truncated trailing shingle below k words, distinct
+        m = max(len(toks) - 3, 0) + 1
+        exp_sh = list(
+            dict.fromkeys(" ".join(toks[i:i + 3]) for i in range(m))
+        )
+        assert got[doc_id]["sh"] == exp_sh, (doc_id, repr(text))
+        bases = [
+            int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+            % _MERSENNE31
+            for s in set(exp_sh)
+        ]
+        exp_sig = [
+            min((a * h + b) % _MERSENNE31 for h in bases)
+            for a, b in params
+        ]
+        assert got[doc_id]["sig"] == exp_sig, (doc_id, repr(text))
+
+
 # ----------------------------------------------------------------- #
 # chunking / PII redaction                                           #
 # ----------------------------------------------------------------- #
