@@ -272,34 +272,41 @@ def chunk_documents(
     pre-packing stage for LLM training (pack_sequences bins the
     resulting pieces). Empty/blank docs yield zero chunks.
 
-    One narrow pass: a JVM expression slices the token array into
-    ceil(n/max) pieces and posexplode emits them — no shuffle, no
-    Python, composes with predicate pushdown at 100 TB.
+    One narrow pass, no shuffle, no Python. The token array is
+    materialized in a projection BELOW the Generate (explode) so each
+    chunk row slices an attribute — a transform lambda slicing the
+    captured split(text) subtree would re-tokenize the document once
+    per chunk (interpreted higher-order functions re-evaluate
+    captured subtrees; the Generate boundary blocks CollapseProject
+    from re-inlining the split).
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
     toks = _words(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(max_tokens)).cast("int")
-    pieces = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.slice(toks, 1, 0)
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * max_tokens + 1, max_tokens), " "
-            ),
-        )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        (F.length(F.trim(F.col(text_col))) == 0).alias("_blank"),
     )
-    exploded = df.select(
-        F.col(id_col), F.posexplode(pieces).alias("chunk_idx", "chunk_text")
+    n_chunks = F.ceil(
+        F.size("_toks") / F.lit(max_tokens)
+    ).cast("int")
+    idx_seq = F.when(
+        F.col("_blank"), F.slice(F.array(F.lit(0)), 1, 0)
+    ).otherwise(F.sequence(F.lit(0), n_chunks - 1))
+    rows = base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(idx_seq).alias("chunk_idx"),
     )
-    return exploded.select(
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * max_tokens + 1, max_tokens
+    )
+    return rows.select(
         id_col,
         "chunk_idx",
-        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("int").alias(
-            "n_tokens"
-        ),
-        "chunk_text",
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )
 
 
