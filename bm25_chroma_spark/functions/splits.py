@@ -31,6 +31,10 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     directly comparable against an md5 hex digest."""
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        # a negative weight would format as a '-'-prefixed hex bound,
+        # which sorts below every digest and silently empties a split
+        raise ValueError("weights must be non-negative")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -21,8 +21,21 @@ STOPWORDS = {
 }
 
 
+def _is_blank(col: Column) -> Column:
+    """True for empty or all-whitespace text. F.trim strips ASCII
+    SPACE only, so a length(trim(col)) check misses tab/newline-only
+    docs (real in scraped corpora) — the regex check does not."""
+    return col.rlike(r"^\s*$")
+
+
 def _words(col: Column) -> Column:
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    # strip ALL leading/trailing whitespace before splitting: F.trim
+    # removes only 0x20, and Spark's split keeps leading/trailing
+    # empty strings, so '\tfoo bar\n' would otherwise tokenize as
+    # ['', 'foo', 'bar', ''] and poison counts, n-grams, and chunks
+    return F.split(
+        F.regexp_replace(F.lower(col), r"^\s+|\s+$", ""), r"\s+"
+    )
 
 
 def lang_hits(col: Column, lang: str) -> Column:
@@ -50,9 +63,9 @@ def lang_id(col: Column) -> Column:
 
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count (0 for empty/blank)."""
-    return F.when(
-        F.length(F.trim(col)) == 0, F.lit(0)
-    ).otherwise(F.size(_words(col)))
+    return F.when(_is_blank(col), F.lit(0)).otherwise(
+        F.size(_words(col))
+    )
 
 
 def token_count_bpe_ish(col: Column) -> Column:
@@ -146,62 +159,104 @@ def word_ngrams(col: Column, n: int) -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return (
-        F.when(F.length(F.trim(col)) == 0, empty)
+        F.when(_is_blank(col), empty)
         .when(F.size(toks) >= n, grams)
         .otherwise(empty)
     )
 
 
+def _ngram_fold(col: Column, n: int, finish) -> Column:
+    """One gram-array construction + one sort + ONE fold computing
+    (total, distinct, top-run), finished by ``finish(acc)`` where
+    ``acc`` is a BOUND lambda variable — interpreted higher-order
+    expressions get no subexpression reuse, so deriving several
+    metrics from separate size/array_distinct/aggregate calls (or
+    even from repeated getField on one struct expression) would
+    rebuild the whole gram chain once per reference. ``n`` must be
+    >= 2 (grams always contain a space, so the empty-string run seed
+    can never collide with a real gram)."""
+    if n < 2:
+        raise ValueError("n-gram statistics require n >= 2")
+    grams = F.array_sort(word_ngrams(col, n))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("top"),
+        F.lit(0).alias("total"),
+        F.lit(0).alias("distinct"),
+    )
+
+    def step(acc, x):
+        is_new = x != acc["prev"]
+        run = F.when(is_new, F.lit(1)).otherwise(acc["run"] + 1)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run).alias("top"),
+            (acc["total"] + 1).alias("total"),
+            (
+                acc["distinct"] + F.when(is_new, 1).otherwise(0)
+            ).alias("distinct"),
+        )
+
+    return F.aggregate(grams, init, step, finish)
+
+
+def ngram_stats(col: Column, n: int) -> Column:
+    """struct(total int, distinct int, top int) over the word
+    n-grams of ``col`` in a single fold. Prefer the scalar helpers
+    below when only one metric is consumed — getField on this struct
+    re-evaluates the fold per reference (no interpreted CSE)."""
+    return _ngram_fold(
+        col,
+        n,
+        lambda acc: F.struct(
+            acc["total"].alias("total"),
+            acc["distinct"].alias("distinct"),
+            acc["top"].alias("top"),
+        ),
+    )
+
+
 def duplicate_ngram_count(col: Column, n: int) -> Column:
     """Number of word n-gram occurrences beyond the first occurrence
-    of each distinct gram: ``total - distinct``."""
-    grams = word_ngrams(col, n)
-    return F.size(grams) - F.size(F.array_distinct(grams))
+    of each distinct gram: ``total - distinct``. One fold."""
+    return _ngram_fold(
+        col, n, lambda acc: acc["total"] - acc["distinct"]
+    )
 
 
 def duplicate_ngram_fraction(col: Column, n: int) -> Column:
     """Gopher-style duplicated-n-gram fraction:
     ``(total_ngrams - distinct_ngrams) / total_ngrams`` (0.0 when the
-    text has no n-grams)."""
-    total = F.size(word_ngrams(col, n))
-    return F.when(
-        total > 0, duplicate_ngram_count(col, n) / total
-    ).otherwise(F.lit(0.0))
+    text has no n-grams). One fold."""
+    return _ngram_fold(
+        col,
+        n,
+        lambda acc: F.when(
+            acc["total"] > 0,
+            (acc["total"] - acc["distinct"]) / acc["total"],
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def top_ngram_count(col: Column, n: int) -> Column:
     """Occurrence count of the single most frequent word n-gram
-    (0 when the text has no n-grams). Computed without exploding:
-    sort the gram array, then one F.aggregate pass tracks the longest
-    run of equal neighbours — O(G log G) per row, stays inside
-    whole-stage codegen, no shuffle. ``n`` must be >= 2 (grams always
-    contain a space, so the empty-string run seed can never collide
-    with a real gram)."""
-    if n < 2:
-        raise ValueError("top_ngram_count requires n >= 2")
-    grams = F.array_sort(word_ngrams(col, n))
-    init = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    return F.aggregate(grams, init, step)["best"]
+    (0 when the text has no n-grams). One fold."""
+    return _ngram_fold(col, n, lambda acc: acc["top"])
 
 
 def top_ngram_fraction(col: Column, n: int) -> Column:
     """Gopher-style top-n-gram fraction: occurrences of the most
-    frequent word n-gram over total n-grams (0.0 when none)."""
-    total = F.size(word_ngrams(col, n))
-    return F.when(
-        total > 0, top_ngram_count(col, n) / total
-    ).otherwise(F.lit(0.0))
+    frequent word n-gram over total n-grams (0.0 when none). One
+    fold."""
+    return _ngram_fold(
+        col,
+        n,
+        lambda acc: F.when(
+            acc["total"] > 0, acc["top"] / acc["total"]
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def fingerprint64(col: Column) -> Column:
@@ -226,11 +281,26 @@ def fingerprint_hex(col: Column) -> Column:
 # otherwise swallow dotted IPs — emails first, then IPs, then phones).
 # RE2 (DuckDB oracle) and Java (Spark) agree on these constructs for
 # ASCII input: no lookaround, no backreferences, \b is ASCII.
+#
+# The phone pattern requires a phone SHAPE rather than any long
+# digit/separator run (a naive [\d\s().-]{7,} destroys decimals,
+# dates, and numeric tables, and spans newlines): either a
+# parenthesized area code, or a +country prefix with >=2 separated
+# groups, or exactly three 3-4 digit groups. Separators are
+# space/dot/dash only — never \s, so a match cannot cross lines.
+# Residual false positives (e.g. space-grouped long numerals like
+# '141 592 653') are accepted; false negatives include 7-digit local
+# forms ('555-0100'), which are not identifying on their own.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    ("phone",
+     r"(?:(?:\+\d{1,3}[ .-]?)?\(\d{2,4}\)[ .-]?\d{2,4}"
+     r"(?:[ .-]\d{2,4}){1,3}"
+     r"|\+\d{1,3}(?:[ .-]\d{2,9}){2,4}"
+     r"|\b\d{3}(?:[ .-]\d{3,4}){2})\b",
+     "<PHONE>"),
 ]
 
 
@@ -286,7 +356,7 @@ def chunk_documents(
     base = df.select(
         F.col(id_col),
         toks.alias("_toks"),
-        (F.length(F.trim(F.col(text_col))) == 0).alias("_blank"),
+        _is_blank(F.col(text_col)).alias("_blank"),
     )
     n_chunks = F.ceil(
         F.size("_toks") / F.lit(max_tokens)

@@ -63,18 +63,22 @@ def contaminated_docs(
     bcol = bench_text_col or text_col
     bench_grams = benchmark.select(
         F.explode(word_ngrams(F.col(bcol), n)).alias("gram")
-    ).distinct()
+    )
     grams = doc_ngrams_df(docs, n, text_col=text_col, id_col=id_col)
     if hash_grams:
+        # hash BEFORE the dedup: equal strings hash equal, so one
+        # distinct on the 8-byte keys replaces a string-level distinct
+        # followed by a second aggregation
         bench_grams = bench_grams.select(
             F.xxhash64("gram").alias("gram_key")
-        ).distinct()
+        )
         grams = grams.select(
             id_col, F.xxhash64("gram").alias("gram_key")
         )
         key = "gram_key"
     else:
         key = "gram"
+    bench_grams = bench_grams.distinct()
     hits = grams.join(F.broadcast(bench_grams), key)
     return hits.groupBy(id_col).agg(
         F.count_distinct(key).cast("int").alias("n_hit_grams")

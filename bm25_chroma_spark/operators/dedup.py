@@ -80,7 +80,11 @@ def word_shingles(text_col, k: int = 3):
     emit ONE truncated shingle (zip_with pads the short shifted views
     with nulls; the when() keeps the left side, which is the
     truncated join the slice form produced)."""
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    # strip ALL edge whitespace (F.trim is space-only; leading tabs/
+    # newlines would otherwise inject empty tokens into shingles)
+    toks = F.split(
+        F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+"
+    )
     m = F.greatest(F.size(toks) - k, F.lit(0)) + 1  # shingle count
     shingles = F.slice(toks, 1, m)
     for j in range(1, k):

@@ -869,7 +869,7 @@ FROM documents GROUP BY sha256(text)
 """
 
 _SQL_SHINGLES = rf"""
-w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+w AS (SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS words
       FROM documents),
 sh AS (SELECT doc_id,
               list_distinct(list_transform(
@@ -973,7 +973,7 @@ FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
 # blocking (4 x 16-bit) and hamming all reproduced in SQL.
 _ORACLES["simhash_dups"] = rf"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS words
   FROM documents
 ),
 tok AS (SELECT doc_id, unnest(words) AS tok FROM w),
@@ -1027,7 +1027,7 @@ def _sql_lang_hits(lang: str) -> str:
 
 _ORACLES["lang_id"] = rf"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS words
   FROM documents
 ),
 h AS (
@@ -1052,9 +1052,9 @@ _SQL_EN_SW = ", ".join(f"'{w}'" for w in _SW["en"])
 _ORACLES["text_quality"] = rf"""
 WITH base AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS words,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+         regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS words,
+         CASE WHEN regexp_matches(text, '^\s*$') THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'))
          END AS n_ws,
          len(regexp_extract_all(lower(text),
              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
@@ -1090,8 +1090,8 @@ _ORACLES["seq_packing"] = rf"""
 -- identical for negative (e.g. xxhash64-derived) doc ids.
 WITH t AS (
   SELECT doc_id,
-         (CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+         (CASE WHEN regexp_matches(text, '^\s*$') THEN 0
+               ELSE len(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'))
           END)::INT AS n_tokens,
          (((doc_id % {PACK_GROUPS}) + {PACK_GROUPS})
             % {PACK_GROUPS})::INT AS pack_group
@@ -1113,7 +1113,7 @@ FROM c
 _ORACLES["fingerprint"] = r"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(
-         regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
+         regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'))), ' ')) AS fp
 FROM documents
 """
 
@@ -1127,8 +1127,8 @@ WITH base AS (
          list_filter(list_transform(string_split(text, chr(10)),
                                     x -> trim(x)),
                      x -> length(x) > 0) AS lines,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS w,
-         length(trim(text)) = 0 AS blank
+         regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w,
+         regexp_matches(text, '^\s*$') AS blank
   FROM documents
 ),
 g AS (
@@ -1172,8 +1172,8 @@ FROM g LEFT JOIN t2 USING (doc_id)
 
 _ORACLES["decontam"] = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents WHERE NOT regexp_matches(text, '^\s*$')
 ),
 idx AS (
   SELECT doc_id, unnest(range(1, len(w) - {DECON_N} + 2)) AS i, w
@@ -1195,8 +1195,8 @@ GROUP BY g.doc_id
 
 _ORACLES["doc_chunks"] = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents WHERE NOT regexp_matches(text, '^\s*$')
 ),
 c AS (
   SELECT doc_id,

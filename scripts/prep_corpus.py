@@ -9,16 +9,19 @@ training in one job, composed from the pipeline operators:
      placeholders (--no-redact to keep raw text).
   3. FILTER — drop docs failing --langs / --min-quality /
      --min-tokens / --max-tokens / --max-top2-frac / --max-dup3-frac.
-     Every drop reason is counted in the report (one aggregate job,
-     not one count() per rule).
+     Every drop reason is counted in the report via observe(), so the
+     counters ride the write job instead of costing their own scan.
   4. DECONTAMINATE (optional) — drop docs sharing an n-gram with
      --benchmark (broadcast shared-n-gram flagging).
   5. SPLIT — deterministic md5-threshold train/val/test labels
      (--weights, --salt), written with partitionBy(split) so readers
      prune.
 
-Everything except the optional decontamination join is map-side, so
-the job is one corpus scan + one partitioned write at any scale.
+Without --benchmark the whole job is ONE corpus scan feeding one
+partitioned write (report metrics ride it via observe); the optional
+decontamination adds exactly one more scan for its broadcast join,
+whose (tiny) contaminated-id result is persisted and reused by the
+purge during the write.
 
 Usage (local smoke):
   python scripts/prep_corpus.py \
@@ -134,9 +137,14 @@ def run(args) -> dict:
         keep = keep & F.col(f"_ok_{name}")
     flagged = flagged.withColumn("_keep", keep)
 
-    # one aggregate job for the whole report (no count() per rule)
-    stats_row = flagged.agg(
-        F.count("*").alias("input_docs"),
+    # the whole report rides the write job via observe() — the drop
+    # counters see every pre-filter row without a second corpus scan
+    from pyspark.sql import Observation
+
+    obs = Observation("prep_stats")
+    flagged = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("input_docs"),
         F.sum(F.col("_keep").cast("long")).alias("kept"),
         *[
             F.sum((~F.col(f"_ok_{name}")).cast("long")).alias(
@@ -147,23 +155,25 @@ def run(args) -> dict:
         F.sum("pii.email").alias("pii_emails"),
         F.sum("pii.ip").alias("pii_ips"),
         F.sum("pii.phone").alias("pii_phones"),
-    ).collect()[0]
-    report = {k: (int(v) if v is not None else 0)
-              for k, v in stats_row.asDict().items()}
+    )
 
     kept = flagged.filter("_keep").drop(
         "_keep", *[f"_ok_{n}" for n in rules]
     )
 
+    report = {}
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
+        # the contaminated id set is tiny — persist it so the
+        # expensive corpus-side join runs exactly once (count here,
+        # broadcast anti-join reuse in the purge during the write)
         flaggods = contaminated_docs(
             kept,
             bench,
             n=args.decon_n,
             text_col=args.text_col,
             id_col=args.id_col,
-        )
+        ).persist()
         n_contaminated = flaggods.count()
         kept = purge_contaminated(kept, flaggods, id_col=args.id_col)
         report["dropped_contaminated"] = int(n_contaminated)
@@ -174,6 +184,12 @@ def run(args) -> dict:
     )
     final.write.mode("overwrite").partitionBy("split").parquet(
         args.output
+    )
+    report.update(
+        {
+            k: (int(v) if v is not None else 0)
+            for k, v in obs.get.items()
+        }
     )
     out = spark.read.parquet(args.output)
     split_counts = {

@@ -56,6 +56,11 @@ def test_word_ngrams_basic(spark):
     assert _one(spark, "a b c", word_ngrams(F.col("text"), 4)) == []
     assert _one(spark, "", word_ngrams(F.col("text"), 2)) == []
     assert _one(spark, "   ", word_ngrams(F.col("text"), 2)) == []
+    # tab/newline-only docs are blank too (F.trim alone misses them)
+    assert _one(spark, "\t\n", word_ngrams(F.col("text"), 2)) == []
+    assert _one(spark, "\ta b", word_ngrams(F.col("text"), 2)) == [
+        "a b",
+    ]
     # normalization: lowercase + whitespace collapse
     assert _one(spark, "  A\t b\nC ", word_ngrams(F.col("text"), 2)) == [
         "a b", "b c",
@@ -267,13 +272,13 @@ def test_hash_sample_nested_subsets(spark):
 
 
 def _spark_words_model(text: str) -> list[str]:
-    """Exact Python mirror of the engine's `_words` expression:
-    F.trim strips ASCII SPACE only (not tabs/newlines), and Spark's
-    split(regex) keeps leading AND trailing empty strings (Java limit
-    -1) — str.strip()/str.split() would diverge on those edges."""
+    """Exact Python mirror of the engine's `_words` expression: strip
+    ALL leading/trailing ASCII whitespace (the regexp_replace the
+    engine applies — F.trim alone would leave tabs/newlines and
+    inject empty edge tokens), lowercase, split on \\s+."""
     import re
 
-    return re.split(r"\s+", text.strip(" ").lower())
+    return re.split(r"\s+", re.sub(r"^\s+|\s+$", "", text.lower()))
 
 
 def test_ngram_shingle_minhash_adversarial_fuzz(spark):
@@ -313,9 +318,11 @@ def test_ngram_shingle_minhash_adversarial_fuzz(spark):
         ).collect()
     }
     params = _affine_params(4)
+    import re as _re
+
     for doc_id, text in enumerate(texts):
         toks = _spark_words_model(text)
-        blank = len(text.strip(" ")) == 0
+        blank = _re.fullmatch(r"\s*", text) is not None
         for n, col in ((2, "g2"), (3, "g3")):
             exp = (
                 []
@@ -355,6 +362,7 @@ def test_chunk_documents_matches_python(spark):
         (i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(n)))
         for i, n in enumerate([0, 1, 4, 5, 6, 13, 40])
     ]
+    rows.append((98, "\t\n"))   # whitespace-only -> zero chunks
     rows.append((99, "   "))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(
@@ -414,6 +422,26 @@ def test_redact_pii(spark):
     # the IP is NOT double-counted as a phone (redaction order)
     clean = "no pii here just words"
     assert _one(spark, clean, redact_pii(F.col("text"))) == clean
+    # phone pattern requires a phone SHAPE: decimals, dates, version
+    # strings, and digit runs across lines survive redaction intact
+    for keep in (
+        "pi is 3.141592653",
+        "values 3.14159 2.71828",
+        "date 2023-01-15 12:30:45",
+        "v1.2.3 release on port 8080",
+        "line1\n555",
+        "1,234,567 rows and 12 + 34 = 46",
+    ):
+        assert _one(spark, keep, redact_pii(F.col("text"))) == keep, keep
+    for hit in (
+        "555 010 1234",
+        "555-010-1234",
+        "(555) 010-1234",
+        "+49 170 1234567",
+        "+44 20 7946 0958",
+    ):
+        red = _one(spark, hit, redact_pii(F.col("text")))
+        assert red == "<PHONE>", (hit, red)
 
 
 def test_hash_split_agrees_with_sample_boundary(spark):
