@@ -165,95 +165,120 @@ def word_ngrams(col: Column, n: int) -> Column:
     )
 
 
-def _ngram_fold(col: Column, n: int, finish) -> Column:
-    """One gram-array construction + one sort + ONE fold computing
-    (total, distinct, top-run), finished by ``finish(acc)`` where
-    ``acc`` is a BOUND lambda variable — interpreted higher-order
-    expressions get no subexpression reuse, so deriving several
-    metrics from separate size/array_distinct/aggregate calls (or
-    even from repeated getField on one struct expression) would
-    rebuild the whole gram chain once per reference. ``n`` must be
-    >= 2 (grams always contain a space, so the empty-string run seed
-    can never collide with a real gram)."""
+# Cost model for the n-gram metrics (interpreted higher-order
+# expressions: no subexpression reuse, per-element lambda cost grows
+# with accumulator width — all variants measured at 20k docs):
+# native size/array_distinct are the cheapest way to COUNT; a fold is
+# only worth it when a single expression needs several quantities
+# (fractions), and then the final scalar must be built inside the
+# aggregate's finish lambda where accumulator references are BOUND
+# variables — getField on the fold's struct from outside would
+# re-evaluate the whole gram chain per reference.
+
+
+def _top_run_fold(col: Column, n: int, with_total: bool, finish):
+    """Sorted fold tracking the longest equal-neighbour run (and
+    optionally the element count). ``n`` must be >= 2: grams always
+    contain a space, so the empty-string run seed cannot collide."""
     if n < 2:
         raise ValueError("n-gram statistics require n >= 2")
     grams = F.array_sort(word_ngrams(col, n))
-    init = F.struct(
+    fields = [
         F.lit("").alias("prev"),
         F.lit(0).alias("run"),
         F.lit(0).alias("top"),
-        F.lit(0).alias("total"),
-        F.lit(0).alias("distinct"),
-    )
+    ]
+    if with_total:
+        fields.append(F.lit(0).alias("total"))
 
     def step(acc, x):
-        is_new = x != acc["prev"]
-        run = F.when(is_new, F.lit(1)).otherwise(acc["run"] + 1)
-        return F.struct(
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        out = [
             x.alias("prev"),
             run.alias("run"),
             F.greatest(acc["top"], run).alias("top"),
-            (acc["total"] + 1).alias("total"),
-            (
-                acc["distinct"] + F.when(is_new, 1).otherwise(0)
-            ).alias("distinct"),
-        )
+        ]
+        if with_total:
+            out.append((acc["total"] + 1).alias("total"))
+        return F.struct(*out)
 
-    return F.aggregate(grams, init, step, finish)
+    return F.aggregate(grams, F.struct(*fields), step, finish)
 
 
 def ngram_stats(col: Column, n: int) -> Column:
     """struct(total int, distinct int, top int) over the word
-    n-grams of ``col`` in a single fold. Prefer the scalar helpers
-    below when only one metric is consumed — getField on this struct
-    re-evaluates the fold per reference (no interpreted CSE)."""
-    return _ngram_fold(
-        col,
-        n,
-        lambda acc: F.struct(
-            acc["total"].alias("total"),
-            acc["distinct"].alias("distinct"),
-            acc["top"].alias("top"),
-        ),
+    n-grams of ``col``. Prefer the scalar helpers below when only one
+    metric is consumed — getField on this struct re-evaluates the
+    gram chain per reference (no interpreted CSE)."""
+    grams = word_ngrams(col, n)
+    return F.struct(
+        F.size(grams).alias("total"),
+        F.size(F.array_distinct(grams)).alias("distinct"),
+        top_ngram_count(col, n).alias("top"),
     )
 
 
 def duplicate_ngram_count(col: Column, n: int) -> Column:
     """Number of word n-gram occurrences beyond the first occurrence
-    of each distinct gram: ``total - distinct``. One fold."""
-    return _ngram_fold(
-        col, n, lambda acc: acc["total"] - acc["distinct"]
-    )
+    of each distinct gram: ``total - distinct`` (native set exprs —
+    cheaper than a fold for a bare count)."""
+    grams = word_ngrams(col, n)
+    return F.size(grams) - F.size(F.array_distinct(grams))
 
 
 def duplicate_ngram_fraction(col: Column, n: int) -> Column:
     """Gopher-style duplicated-n-gram fraction:
     ``(total_ngrams - distinct_ngrams) / total_ngrams`` (0.0 when the
-    text has no n-grams). One fold."""
-    return _ngram_fold(
-        col,
-        n,
-        lambda acc: F.when(
+    text has no n-grams). One distinct-counting fold (a naive
+    expression would rebuild the gram chain for each of its three
+    total/distinct references)."""
+    if n < 2:
+        raise ValueError("n-gram statistics require n >= 2")
+    grams = F.array_sort(word_ngrams(col, n))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("total"),
+        F.lit(0).alias("distinct"),
+    )
+
+    def step(acc, x):
+        return F.struct(
+            x.alias("prev"),
+            (acc["total"] + 1).alias("total"),
+            (
+                acc["distinct"]
+                + F.when(x != acc["prev"], 1).otherwise(0)
+            ).alias("distinct"),
+        )
+
+    def finish(acc):
+        return F.when(
             acc["total"] > 0,
             (acc["total"] - acc["distinct"]) / acc["total"],
-        ).otherwise(F.lit(0.0)),
-    )
+        ).otherwise(F.lit(0.0))
+
+    return F.aggregate(grams, init, step, finish)
 
 
 def top_ngram_count(col: Column, n: int) -> Column:
     """Occurrence count of the single most frequent word n-gram
-    (0 when the text has no n-grams). One fold."""
-    return _ngram_fold(col, n, lambda acc: acc["top"])
+    (0 when the text has no n-grams): one sort + minimal run fold."""
+    return _top_run_fold(
+        col, n, with_total=False, finish=lambda acc: acc["top"]
+    )
 
 
 def top_ngram_fraction(col: Column, n: int) -> Column:
     """Gopher-style top-n-gram fraction: occurrences of the most
     frequent word n-gram over total n-grams (0.0 when none). One
-    fold."""
-    return _ngram_fold(
+    fold carrying the count alongside the run."""
+    return _top_run_fold(
         col,
         n,
-        lambda acc: F.when(
+        with_total=True,
+        finish=lambda acc: F.when(
             acc["total"] > 0, acc["top"] / acc["total"]
         ).otherwise(F.lit(0.0)),
     )
