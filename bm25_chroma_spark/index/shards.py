@@ -947,19 +947,44 @@ class ShardedIndex:
     # index generation so DML can never be served stale rows.
     postings_cache_bytes: int = 256 << 20
 
+    def postings_cacheable(self, terms: List[str]) -> bool:
+        """False when any term carries a current-generation too-big
+        marker (its rows exceeded postings_cache_bytes on a prior
+        fetch). The local-DAAT gate checks this BEFORE committing to
+        the driver path, so hot oversized terms stay distributed
+        instead of paying a driver collect on every query."""
+        gen = self.generation
+        for t in terms:
+            hit = self._postings_cache.get(t)
+            if hit is not None and hit[0] == gen and hit[2] is None:
+                return False
+        return True
+
+    def _evict_postings(self) -> None:
+        cache = self._postings_cache
+        while self._postings_cache_used > self.postings_cache_bytes and cache:
+            _, (_, nb, _) = cache.popitem(last=False)
+            self._postings_cache_used -= nb
+
     def postings_rows(self, terms: List[str]) -> Dict[str, list]:
         """Driver-side posting rows per term (one row per live
         (term, segment) after the DML overlay), served from the LRU
         cache when the entry's generation matches, fetched with ONE
         bucket-pruned collect otherwise. Unknown terms cache as empty
-        lists so they never re-trigger a job."""
+        lists so they never re-trigger a job. A term whose rows exceed
+        the whole budget is served but cached as a too-big marker
+        (rows=None) so postings_cacheable() can route it distributed."""
         gen = self.generation
         cache = self._postings_cache
+        # run eviction on EVERY call, not only inside the miss branch:
+        # lowering postings_cache_bytes at runtime must take effect on
+        # the next access, not linger until the next cache miss
+        self._evict_postings()
         out: Dict[str, list] = {}
         missing: List[str] = []
         for t in terms:
             hit = cache.get(t)
-            if hit is not None and hit[0] == gen:
+            if hit is not None and hit[0] == gen and hit[2] is not None:
                 cache.move_to_end(t)
                 out[t] = hit[2]
             else:
@@ -990,12 +1015,13 @@ class ShardedIndex:
                 if nbytes <= self.postings_cache_bytes:
                     cache[t] = (gen, nbytes, rows)
                     self._postings_cache_used += nbytes
-                while (
-                    self._postings_cache_used > self.postings_cache_bytes
-                    and cache
-                ):
-                    _, (_, nb, _) = cache.popitem(last=False)
-                    self._postings_cache_used -= nb
+                else:
+                    # too-big marker: zero accounted bytes, rows=None;
+                    # evictable like any entry, read by
+                    # postings_cacheable() to keep this term off the
+                    # driver path while the generation holds
+                    cache[t] = (gen, 0, None)
+                self._evict_postings()
                 out[t] = rows
         return out
 

@@ -664,7 +664,9 @@ def search_sharded(
         # distributed engines even when its distinct-term df sum is
         # tiny — sum over (query, term) occurrences, not terms
         est_work = sum(df_map.get(t, 0) for _, t, _ in qt_data)
-        if est_work <= CACHE_MAX_QUERY_POSTINGS:
+        if est_work <= CACHE_MAX_QUERY_POSTINGS and index.postings_cacheable(
+            terms
+        ):
             return _run_local_daat(
                 spark, index, qt_data, df_map, n, avgdl, cfg,
                 top_k, score_round,

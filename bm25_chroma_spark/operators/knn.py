@@ -58,11 +58,27 @@ def _queries_df(spark, query_vecs) -> DataFrame:
     batch/offline form (query_df), where caller-assigned ids must
     survive."""
     if isinstance(query_vecs, DataFrame):
+        # bind by NAME, never position: a caller frame with extra
+        # columns or a renamed id column must fail loudly, not
+        # silently pick the wrong vector column (ADVICE r6)
         cols = query_vecs.columns
-        vec_col = cols[1] if cols[0] == "query_id" else cols[0]
+        if "query_id" in cols:
+            id_col, others = "query_id", [c for c in cols if c != "query_id"]
+        elif len(cols) == 2:
+            id_col, others = cols[0], [cols[1]]
+        else:
+            raise ValueError(
+                "query-vector DataFrame must be (query_id, <vec>) or "
+                f"exactly two (id, vec) columns; got {cols}"
+            )
+        if len(others) != 1:
+            raise ValueError(
+                "query-vector DataFrame must have exactly one vector "
+                f"column besides 'query_id'; got {cols}"
+            )
         return query_vecs.select(
-            F.col("query_id").cast("long"),
-            F.col(vec_col).cast("array<double>").alias("qvec"),
+            F.col(id_col).cast("long").alias("query_id"),
+            F.col(others[0]).cast("array<double>").alias("qvec"),
         )
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)]
     return spark.createDataFrame(rows, "query_id long, qvec array<double>")

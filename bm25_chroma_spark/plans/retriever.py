@@ -1219,7 +1219,11 @@ class SparkHybridRetriever:
                 self._index, qrows, top_k=top_k,
                 strategy=self.bm25_strategy,
             )
-            bm25 = res.join(self._uid_map(), "doc_id").select(
+            # broadcast the RESULT side: it is |Q|*top_k rows by
+            # contract, but Catalyst has no size estimate for a
+            # windowed result and would sort-merge join the
+            # corpus-sized uid map (same reasoning as search_bm25)
+            bm25 = F.broadcast(res).join(self._uid_map(), "doc_id").select(
                 "query_id", "doc_uid",
                 F.col("score").alias("leg_score"), "rank",
             )
@@ -1264,7 +1268,8 @@ class SparkHybridRetriever:
                     vec_col="embedding",
                 )
             uid = self._uid_map().withColumnRenamed("doc_id", "vec_id")
-            vec = resv.join(uid, "vec_id").select(
+            # broadcast the |Q|*top_k result side (see bm25 leg note)
+            vec = F.broadcast(resv).join(uid, "vec_id").select(
                 "query_id", "doc_uid",
                 F.col("sim").alias("leg_score"), "rank",
             )

@@ -212,3 +212,67 @@ def test_zero_norm_embedding_cache_matches_spark(spark, tmp_path):
     assert _m.isnan(cached[-1][1]) and _m.isnan(dist[-1][1])
     pairs = zip(cached[:-1], dist[:-1])
     assert all(cu == du and cs == ds for (cu, cs), (du, ds) in pairs)
+
+
+def test_postings_cache_budget_lowered_at_runtime(spark, tmp_path):
+    """Lowering postings_cache_bytes at runtime must evict on the
+    NEXT postings access, not linger until the next miss (ADVICE r6:
+    eviction used to run only inside the miss/insert branch)."""
+    r = _mk(spark, tmp_path, n=40, name="pbudget")
+    assert r.search_bm25("alpha spark document", top_k=3)
+    idx = r._index
+    assert idx._postings_cache_used > 0
+    idx.postings_cache_bytes = 0
+    # a pure-hit access path still trims: eviction runs per call
+    idx.postings_rows(["alpha"])
+    assert idx._postings_cache_used == 0
+
+
+def test_postings_too_big_marker_routes_distributed(spark, tmp_path):
+    """A term whose rows exceed the whole postings budget is marked
+    too-big (generation-tagged) and subsequent queries on it take the
+    distributed path instead of a driver collect per query (ADVICE
+    r6); results stay identical."""
+    r = _mk(spark, tmp_path, n=40, name="ptoobig")
+    q = "alpha spark document"
+    cold = r.search_bm25(q, top_k=3)
+    idx = r._index
+    idx.postings_cache_bytes = 1
+    # this call refetches (evicted), marks every term too-big, and
+    # still serves the rows it just collected
+    mid = r.search_bm25(q, top_k=3)
+    assert mid == cold
+    assert not idx.postings_cacheable(["alpha"])
+    # now the gate must refuse the driver path -> Spark jobs run
+    j0 = _njobs(spark)
+    hot = r.search_bm25(q, top_k=3)
+    assert _njobs(spark) > j0, "too-big terms must stay distributed"
+    assert hot == cold
+
+
+def test_queries_df_binds_vector_column_by_name(spark):
+    """_queries_df must not positionally grab the wrong column when a
+    caller frame has extra columns (ADVICE r6)."""
+    import pytest as _pt
+
+    from bm25_chroma_spark.operators.knn import _queries_df
+
+    ok = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, emb array<double>"
+    )
+    assert _queries_df(spark, ok).columns == ["query_id", "qvec"]
+    swapped = spark.createDataFrame(
+        [([1.0, 0.0], 0)], "emb array<double>, query_id long"
+    )
+    assert _queries_df(spark, swapped).columns == ["query_id", "qvec"]
+    extra = spark.createDataFrame(
+        [(0, "x", [1.0])],
+        "query_id long, note string, emb array<double>",
+    )
+    with _pt.raises(ValueError, match="exactly one vector column"):
+        _queries_df(spark, extra)
+    noid = spark.createDataFrame(
+        [(0, "x", [1.0])], "qid long, note string, emb array<double>"
+    )
+    with _pt.raises(ValueError, match="query_id"):
+        _queries_df(spark, noid)
