@@ -308,6 +308,42 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         pipe_probe().collect()
         pipe_trials.append(time.time() - t0)
     timings["pipeline_100k"] = sorted(pipe_trials)[1]  # median of 3
+
+    # 6d. Repeated-span removal (Lee et al. ExactSubstr shape) over
+    # the same 100k corpus, with a 12-token boilerplate block planted
+    # in 25% of docs so the position join-back and rebuild stages do
+    # real work (the raw synth corpus shares almost no 10-grams).
+    # ~40s/pass (two tokenize+shingle scans + the discovery shuffle
+    # are inherent to exact substring dedup), so min of 2 trials.
+    from bm25_chroma_spark.operators.span_dedup import (
+        remove_repeated_spans,
+    )
+
+    def span_probe():
+        docs = spark.read.parquet(sim_src).select(
+            "doc_id",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(
+                        " all rights reserved unsubscribe from this"
+                        " newsletter by clicking the link below"
+                    ),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        out = remove_repeated_spans(docs, span_tokens=10, min_docs=2)
+        return out.agg(
+            F.sum("n_removed").alias("nr"), F.count("*").alias("n")
+        )
+
+    span_trials = []
+    for _ in range(2):
+        t0 = time.time()
+        span_probe().collect()
+        span_trials.append(time.time() - t0)
+    timings["span_dedup_100k"] = min(span_trials)
     shutil.rmtree(sim_src, ignore_errors=True)
 
     # 7. WAND WIN regime: 1M tiny docs where block skipping ENGAGES —

@@ -24,6 +24,10 @@ from bm25_chroma_spark.operators.dedup import (
 )
 from bm25_chroma_spark.operators.embed import embed_corpus
 from bm25_chroma_spark.operators.fusion import rrf_fuse
+from bm25_chroma_spark.operators.span_dedup import (
+    remove_repeated_spans,
+    repeated_span_keys,
+)
 
 __all__ = [
     "LogicalIndex",
@@ -46,4 +50,6 @@ __all__ = [
     "simhash_near_dups",
     "embed_corpus",
     "rrf_fuse",
+    "remove_repeated_spans",
+    "repeated_span_keys",
 ]

@@ -1,0 +1,198 @@
+"""Substring-level exact deduplication: remove word spans that repeat
+across documents — cross-document boilerplate (headers, license
+blocks, templated pages) inside otherwise-unique documents, the one
+dedup modality document-level MinHash/SimHash and benchmark
+decontamination don't cover.
+
+Public recipe: Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better" (ExactSubstr). Their single-machine
+implementation builds a corpus suffix array and deletes every
+occurrence of any sufficiently long substring that appears more than
+once; the faithful distributed shape is fixed-length word shingles
+(a span of >= ``span_tokens`` words repeats across docs iff all of
+its length-``span_tokens`` shingles do), counted with one groupBy and
+joined back by position. Like their released implementation, ALL
+occurrences of a repeated span are removed (no canonical copy is
+kept) — at LLM-corpus scale the text lost to "remove all" vs "keep
+one" is negligible and the plan stays one-pass per stage.
+
+Semantics (token-level, matching the rest of this package's text
+pipeline):
+
+* Tokens are whitespace-split after edge-whitespace stripping;
+  shingles are matched LOWERCASED (``word_ngrams``) but removal
+  rebuilds from the ORIGINAL-case tokens, so surviving text keeps its
+  casing. Documents with no repeated span pass through byte-identical
+  (original text, untouched whitespace).
+* A span must appear in >= ``min_docs`` DISTINCT documents to be
+  removed (cross-document boilerplate). Within-document repetition is
+  a quality signal, not dedup — see
+  functions/text_analysis.rep-signal helpers.
+* Overlapping repeated shingles merge naturally: removal operates on
+  the union of covered token positions, so a 60-token boilerplate
+  block with span_tokens=50 disappears wholesale.
+
+Design for 100 TB:
+
+* Stage 1 (span discovery): per-doc DISTINCT shingles are exploded
+  map-side (``array_distinct`` before the explode), so the document
+  frequency is a plain ``count(*)`` with map-side partial
+  aggregation — never a ``count_distinct`` shuffle of raw positions.
+* With ``hash_grams=True`` (default) shingles become 8-byte xxhash64
+  keys before the shuffle: fixed-width keys instead of ~300-byte
+  strings on the wire. A 64-bit collision can at worst over-remove
+  one span (the conservative direction for dedup); pass
+  ``hash_grams=False`` for exact string matching (the oracle path).
+* Stage 2 (position join): positions stream through the join against
+  the (filtered, usually small) repeated-key set — non-repeated
+  positions die in the join, so only boilerplate positions shuffle to
+  the per-doc groupBy. No broadcast hint is forced: AQE converts the
+  join at runtime when the key set is small, and degrades to a
+  shuffle join when a pathological corpus has billions of repeated
+  spans.
+* Stage 3 (rebuild): one join back to the corpus on doc id, then a
+  pure JVM expression pass. The token array is materialized in a
+  projection below the join, so the per-element lambdas
+  (``sequence`` fan-out, ``F.get`` picks) touch only bound variables
+  and attributes — never a captured ``split(text)`` subtree (the
+  interpreted-HOF quadratic documented in CLAUDE.md).
+
+No counterpart exists in the reference repo (/root/reference) — this
+is a beyond-reference training-data-pipeline operator; the recipe is
+public (Lee et al. 2021, arXiv:2107.06499).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bm25_chroma_spark.functions.text_analysis import word_ngrams
+
+
+def repeated_span_keys(
+    docs: DataFrame,
+    span_tokens: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Shingle keys of length ``span_tokens`` that occur in at least
+    ``min_docs`` distinct documents -> (gram_key long | gram string,
+    n_docs int).
+
+    Distinctness is established map-side (``array_distinct`` per doc
+    before the explode), so the aggregate is a partial-agg-friendly
+    ``count(*)`` over (doc, key) pairs — one shuffle, 8-byte keys by
+    default.
+    """
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (cross-document spans)")
+    per_doc = docs.select(
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), span_tokens))
+        ).alias("gram")
+    )
+    if hash_grams:
+        per_doc = per_doc.select(F.xxhash64("gram").alias("gram_key"))
+        key = "gram_key"
+    else:
+        key = "gram"
+    return (
+        per_doc.groupBy(key)
+        .agg(F.count("*").cast("int").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    span_tokens: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+    keys: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Cut every occurrence of every word span repeated across
+    >= ``min_docs`` documents -> (id_col, text_col, n_removed int).
+
+    ``n_removed`` counts removed tokens. Unaffected documents keep
+    their ORIGINAL text byte-identical; affected documents are
+    rebuilt as the space-join of their surviving original-case
+    tokens (token-stream semantics, like Lee et al.'s ExactSubstr).
+
+    ``keys`` lets a precomputed ``repeated_span_keys`` result (e.g.
+    one shared across corpus shards, or persisted between runs) be
+    reused; it must have been built with the same ``span_tokens`` and
+    ``hash_grams``.
+    """
+    if keys is None:
+        keys = repeated_span_keys(
+            docs,
+            span_tokens=span_tokens,
+            min_docs=min_docs,
+            text_col=text_col,
+            id_col=id_col,
+            hash_grams=hash_grams,
+        )
+    key = "gram_key" if hash_grams else "gram"
+
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), span_tokens)).alias(
+            "pos", "gram"
+        ),
+    )
+    if hash_grams:
+        pos = pos.select(
+            id_col, "pos", F.xxhash64("gram").alias("gram_key")
+        )
+    # non-repeated positions die here; only boilerplate rows shuffle
+    hits = (
+        pos.join(keys.select(key), key)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_hits"))
+    )
+
+    # original-case tokens, materialized BELOW the join so the final
+    # projection's lambdas reference an attribute, not a re-evaluated
+    # split(text) subtree (interpreted-HOF quadratic, CLAUDE.md)
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.split(
+            F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+        ).alias("_toks"),
+    )
+    joined = base.join(hits, id_col, "left")
+
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_hits"),
+                lambda p: F.sequence(p, p + F.lit(span_tokens - 1)),
+            )
+        )
+    )
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("_toks") - 1), covered
+    )
+    clean = F.array_join(
+        F.transform(kept_idx, lambda i: F.get(F.col("_toks"), i)), " "
+    )
+    return joined.select(
+        id_col,
+        F.when(F.col("_hits").isNull(), F.col(text_col))
+        .otherwise(clean)
+        .alias(text_col),
+        F.when(F.col("_hits").isNull(), F.lit(0))
+        .otherwise(F.size(covered))
+        .cast("int")
+        .alias("n_removed"),
+    )

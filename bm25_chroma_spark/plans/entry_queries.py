@@ -466,6 +466,48 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_docs(train, bench, n=DECON_N, hash_grams=False)
 
 
+# Repeated-span removal entry (Lee et al. 2021 ExactSubstr shape):
+# every 4th doc gets a fixed 12-token boilerplate block appended —
+# deterministically in BOTH engines — which the operator must cut
+# from every occurrence; the rest of the corpus may contribute a few
+# natural word-soup repeats, which both engines compute identically.
+# Mixed-case boilerplate exercises the lowercased-match /
+# original-case-rebuild contract. hash_grams=False so the oracle's
+# string-keyed join is collision-proof by construction (xxhash64 keys
+# are the at-scale default).
+SPAN_TOKENS = 6
+SPAN_MOD = 4
+SPAN_BOILER = (
+    "All Rights Reserved unsubscribe from this Newsletter "
+    "by clicking the Link below"
+)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans cut from planted boilerplate;
+    cleaned text rides as md5 so the hash check covers the full
+    rebuilt output."""
+    from bm25_chroma_spark.operators.span_dedup import (
+        remove_repeated_spans,
+    )
+
+    docs = _load_docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SPAN_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + SPAN_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = remove_repeated_spans(
+        docs, span_tokens=SPAN_TOKENS, min_docs=2, hash_grams=False
+    )
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_removed"
+    )
+
+
 CHUNK_MAX = 16
 
 
@@ -1193,6 +1235,61 @@ GROUP BY g.doc_id
 """
 
 
+# span_dedup: independent DuckDB implementation — shingles from list
+# primitives, df over DISTINCT (doc, gram), covered = union of
+# per-hit index ranges, rebuild via string_agg over uncovered
+# original-case tokens. Unaffected docs hash their RAW text.
+_ORACLES["span_dedup"] = rf"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SPAN_MOD} = 0
+              THEN text || ' {SPAN_BOILER}' ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS wo,
+         regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w,
+         regexp_matches(text, '^\s*$') AS blank
+  FROM docs2
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[i:i+{SPAN_TOKENS - 1}], ' ') AS gram
+  FROM (SELECT doc_id, unnest(range(1, len(w) - {SPAN_TOKENS} + 2)) AS i, w
+        FROM toks WHERE NOT blank AND len(w) >= {SPAN_TOKENS})
+),
+rep AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+  GROUP BY gram HAVING count(*) >= 2
+),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
+covered AS (
+  SELECT DISTINCT doc_id, pos + o AS idx
+  FROM (SELECT doc_id, pos, unnest(range(0, {SPAN_TOKENS})) AS o FROM hits)
+),
+nrem AS (SELECT doc_id, count(*) AS n FROM covered GROUP BY doc_id),
+tokrows AS (
+  SELECT doc_id, i - 1 AS idx, wo[i] AS tok
+  FROM (SELECT doc_id, unnest(range(1, len(wo) + 1)) AS i, wo FROM toks)
+),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS clean
+  FROM tokrows t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.doc_id IS NULL
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       md5(CASE WHEN n.n IS NULL THEN d.text
+                ELSE coalesce(k.clean, '') END) AS clean_md5,
+       coalesce(n.n, 0)::INT AS n_removed
+FROM docs2 d
+LEFT JOIN nrem n USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+"""
+
+
 _ORACLES["doc_chunks"] = rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w
@@ -1755,6 +1852,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "hash_split": q_hash_split,
         "doc_chunks": q_doc_chunks,
+        "span_dedup": q_span_dedup,
         "pii_redact": q_pii_redact,
         # vector family
         "embed_corpus": q_embed_corpus,

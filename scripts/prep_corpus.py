@@ -2,6 +2,12 @@
 """spark-submit entry point: prepare a raw documents table for LLM
 training in one job, composed from the pipeline operators:
 
+  0. SPAN-DEDUP (optional, --dedup-spans N) — cut word spans of >= N
+     tokens repeated across --span-min-docs documents (Lee et al.
+     2021 ExactSubstr shape) BEFORE annotation, so quality signals
+     and filters see the deduplicated text. Adds two corpus scans
+     (shingle-df discovery + position join) — the inherent cost of
+     exact substring dedup.
   1. ANNOTATE — language ID, quality score, token count, Gopher
      repetition signals (duplicate-line / top-2-gram / dup-3-gram
      fractions), PII counts. One narrow JVM-expression pass.
@@ -65,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-dup3-frac", type=float, default=1.0,
                    help="drop docs whose duplicated-3-gram share "
                         "exceeds this")
+    p.add_argument("--dedup-spans", type=int, default=0,
+                   help="remove word spans of >= N tokens repeated "
+                        "across documents (0 = off; Lee et al. 2021 "
+                        "ExactSubstr; published default 50)")
+    p.add_argument("--span-min-docs", type=int, default=2,
+                   help="a span must appear in this many DISTINCT "
+                        "docs to be cut")
     p.add_argument("--no-redact", action="store_true",
                    help="keep raw text instead of PII-redacted")
     p.add_argument("--benchmark",
@@ -105,9 +118,36 @@ def run(args) -> dict:
     docs = spark.read.parquet(args.input)
     t = F.col(args.text_col)
 
+    span_cols = []
+    if args.dedup_spans:
+        from bm25_chroma_spark.operators.span_dedup import (
+            remove_repeated_spans,
+        )
+
+        # stage the deduped text to parquet and read it back: the
+        # annotate pass references the text column ~8 times, and
+        # higher-order expressions are excluded from codegen
+        # subexpression elimination, so an inlined rebuild expression
+        # would be re-evaluated per reference (the interpreted-HOF
+        # quadratic class); an attribute read from parquet is
+        # evaluated once. This is also the honest 100-TB shape —
+        # substring dedup is its own materialized pass in published
+        # pipelines (Lee et al. 2021).
+        staged = args.output.rstrip("/") + "_spandedup"
+        remove_repeated_spans(
+            docs,
+            span_tokens=args.dedup_spans,
+            min_docs=args.span_min_docs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).write.mode("overwrite").parquet(staged)
+        docs = spark.read.parquet(staged)
+        span_cols = [F.col("n_removed")]
+
     annotated = docs.select(
         F.col(args.id_col),
         (t if args.no_redact else ta.redact_pii(t)).alias(args.text_col),
+        *span_cols,
         ta.lang_id(t).alias("lang_pred"),
         ta.quality_score(t).alias("quality"),
         ta.token_count_ws(t).cast("int").alias("n_tokens"),
@@ -155,10 +195,17 @@ def run(args) -> dict:
         F.sum("pii.email").alias("pii_emails"),
         F.sum("pii.ip").alias("pii_ips"),
         F.sum("pii.phone").alias("pii_phones"),
+        *(
+            [F.sum("n_removed").alias("span_tokens_removed")]
+            if args.dedup_spans
+            else []
+        ),
     )
 
     kept = flagged.filter("_keep").drop(
-        "_keep", *[f"_ok_{n}" for n in rules]
+        "_keep",
+        *[f"_ok_{n}" for n in rules],
+        *(["n_removed"] if args.dedup_spans else []),
     )
 
     report = {}

@@ -214,3 +214,46 @@ def test_prep_corpus_pipeline(spark, tmp_path, monkeypatch):
     assert "<EMAIL>" in texts[2]
     # split column is a partition column readers can prune on
     assert "split" in got.columns
+
+
+def test_prep_corpus_dedup_spans(spark, tmp_path, monkeypatch):
+    """--dedup-spans runs repeated-span removal before annotation:
+    planted boilerplate is cut from every doc, the removed-token
+    count rides the report, and the n_removed helper column does not
+    leak into the output."""
+    import json
+    import sys
+
+    import scripts.prep_corpus as pc
+
+    boiler = (
+        "all rights reserved unsubscribe from this newsletter "
+        "by clicking the link below"
+    )  # 12 tokens
+    rows = [
+        (1, "unique one u1a u1b u1c u1d u1e " + boiler),
+        (2, "unique two u2a u2b u2c u2d u2e " + boiler),
+        (3, "another entirely different document body with plenty "
+            "of words to pass the filters here"),
+    ]
+    src = str(tmp_path / "sdocs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        src
+    )
+    out = str(tmp_path / "sprepped")
+    rpt = str(tmp_path / "sreport.json")
+    monkeypatch.setattr(sys, "argv", [
+        "prep_corpus.py", "--input", src, "--output", out,
+        "--report", rpt, "--dedup-spans", "6", "--salt", "s",
+    ])
+    pc.main()
+
+    report = json.loads(open(rpt).read())
+    assert report["span_tokens_removed"] == 24  # 12 tokens x 2 docs
+    got = spark.read.parquet(out)
+    assert "n_removed" not in got.columns
+    texts = {r["doc_id"]: r["text"] for r in got.collect()}
+    assert set(texts) == {1, 2, 3}
+    assert "unsubscribe" not in texts[1] and "unsubscribe" not in texts[2]
+    assert texts[1].startswith("unique one u1a")
+    assert texts[3] == rows[2][1]  # untouched doc byte-identical
