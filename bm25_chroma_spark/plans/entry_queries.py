@@ -864,16 +864,21 @@ def q_query_df_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pipeline an offline evaluation over 100k+ queries runs,
     legs and RRF fusion distributed end-to-end.
 
-    Rows-only entry (no oracle_sql), deliberately: every leg
-    component is hash-checked individually (bm25_topk / knn_topk /
-    embed_corpus / rrf_hybrid), and query_df == query() is
-    pytest-pinned (test_query_df_matches_query); what SQL cannot
-    mirror is the facade's rank tie-break on the internal
-    xxhash64(doc_uid) doc id (a Spark-specific 64-bit hash — score
-    ties are common on the synthetic corpus, and leg RANKS feed the
-    RRF sums, so the tie order decides output values; emulating
-    xxhash64 in DuckDB needs wrapping 64-bit arithmetic it doesn't
-    have). Row count is deterministic (row_number top-k)."""
+    Hash-checked since r7 (VERDICT-r6 #2): the entry's retriever
+    takes ``doc_id_expr = cast(doc_uid as long)`` — uids here are
+    numeric strings, so the internal ids ARE the parquet doc_id and
+    every rank tie-break (bm25 leg doc_id asc, knn leg vec_id asc,
+    RRF doc_uid-string asc) is SQL-mirrorable, where the production
+    default xxhash64 has no DuckDB twin — and ``score_round=ROUND``
+    so leg ranks order on 6-decimal scores (the cross-engine float
+    contract; raw multi-term sums are order-sensitive at ulp scale).
+    The tie-break is engine-pinned either way: the reference's own
+    tie order is undefined (SURVEY §7.1). query_df == query() parity
+    stays pytest-pinned on the production configuration. The oracle
+    assumes every flagship query answers on BOTH legs (true by
+    construction: each query contains a known vocabulary term, and
+    vectors exist for every doc), so only the fused path is
+    mirrored."""
     import tempfile
 
     from bm25_chroma_spark.plans.retriever import (
@@ -885,13 +890,16 @@ def q_query_df_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         tempfile.mkdtemp() + "/qdf_state",
         embedding_function=hashed_bow_embedder,
+        doc_id_expr=lambda c: c.cast("long"),
     )
     r.add_documents_df(
         _load_docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("doc_uid"), "text"
         )
     )
-    out = r.query_df(_queries_df(spark), n_results=TOP_K)
+    out = r.query_df(
+        _queries_df(spark), n_results=TOP_K, score_round=ROUND
+    )
     return out.select(
         "query_id",
         "doc_uid",
@@ -1687,6 +1695,129 @@ SELECT query_id, doc_id, rrf_score, rank FROM ranked WHERE rank <= 10
 
 
 _ORACLES["rrf_hybrid"] = _rrf_oracle()
+
+
+def _qdf_text_values_sql() -> str:
+    return ", ".join(
+        "({}, '{}')".format(qid, text.replace("'", "''"))
+        for qid, text in FLAGSHIP_QUERIES
+    )
+
+
+def _query_df_oracle() -> str:
+    """Full facade mirror for q_query_df_hybrid: BM25 leg (reference
+    tokenizer + Solr-normed BM25, rounded-before-rank, widened to
+    2*TOP_K), hashed-BoW KNN leg (sha256 feature hashing — the same
+    sha256-hex arithmetic the hash-green embed_corpus oracle uses —
+    cosine over the sparse dims, rounded-before-rank), RRF(0.5/0.5,
+    k=60) over leg ranks with the doc_uid STRING tie-break, top
+    TOP_K. Internal ids mirror because the entry pins
+    doc_id_expr = cast(doc_uid as long)."""
+    E = 2 * TOP_K
+    hexp = "strpos('0123456789abcdef', substr(sha256(tok), {}, 1)) - 1"
+    dim_expr = f"((16 * ({hexp.format(7)}) + ({hexp.format(8)})) % 64)"
+    sign_expr = (
+        f"CASE WHEN ({hexp.format(10)}) % 2 = 1 THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+WITH {_SQL_DOCS}, {_SQL_TF},
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM ne),
+q(query_id, term, qtf) AS (VALUES {_query_values_sql()}),
+bm25s AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln((s.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * (tf.tf * {K1 + 1.0}) /
+             (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / s.avgdl))
+           / sqrt(tf.dl) * q.qtf
+         ), {ROUND}) AS score
+  FROM q JOIN dft USING (term) JOIN tf USING (term) CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+bm25_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM bm25s
+),
+bm25_leg AS (SELECT * FROM bm25_ranked WHERE rank <= {E}),
+qt(query_id, qtext) AS (VALUES {_qdf_text_values_sql()}),
+dtok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> length(t) > 0)) AS tok
+  FROM documents
+),
+qtok AS (
+  SELECT query_id,
+         unnest(list_filter(string_split_regex(lower(qtext), '\\s+'),
+                            t -> length(t) > 0)) AS tok
+  FROM qt
+),
+dh AS (SELECT doc_id, {dim_expr} AS dim, {sign_expr} AS sign FROM dtok),
+qh AS (SELECT query_id, {dim_expr} AS dim, {sign_expr} AS sign FROM qtok),
+ds AS (SELECT doc_id, dim, sum(sign) AS s FROM dh GROUP BY doc_id, dim
+       HAVING sum(sign) != 0),
+qs AS (SELECT query_id, dim, sum(sign) AS s FROM qh GROUP BY query_id, dim
+       HAVING sum(sign) != 0),
+dn AS (SELECT doc_id, sqrt(sum(s * s)) AS nrm FROM ds GROUP BY doc_id),
+qn AS (SELECT query_id, sqrt(sum(s * s)) AS nrm FROM qs GROUP BY query_id),
+dv AS (SELECT ds.doc_id, dim, s / nrm AS v FROM ds JOIN dn USING (doc_id)),
+qv AS (SELECT qs.query_id, dim, s / nrm AS v
+       FROM qs JOIN qn USING (query_id)),
+dvn AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm2 FROM dv GROUP BY doc_id),
+qvn AS (SELECT query_id, sqrt(sum(v * v)) AS nrm2 FROM qv GROUP BY query_id),
+dots AS (
+  SELECT dv.doc_id, qv.query_id, sum(dv.v * qv.v) AS dot
+  FROM dv JOIN qv USING (dim) GROUP BY dv.doc_id, qv.query_id
+),
+pairs AS (
+  SELECT d.doc_id, qq.query_id FROM documents d CROSS JOIN qt qq
+),
+dist AS (
+  SELECT p.query_id, p.doc_id,
+         round(1.0 - coalesce(t.dot, 0.0) / (dvn.nrm2 * qvn.nrm2),
+               {ROUND}) AS dist
+  FROM pairs p
+  JOIN dvn USING (doc_id)
+  JOIN qvn USING (query_id)
+  LEFT JOIN dots t
+    ON t.doc_id = p.doc_id AND t.query_id = p.query_id
+),
+knn_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, doc_id ASC
+         ) AS rank
+  FROM dist
+),
+knn_leg AS (SELECT * FROM knn_ranked WHERE rank <= {E}),
+parts AS (
+  SELECT query_id, doc_id, 0.5 / (60.0 + rank) AS part FROM bm25_leg
+  UNION ALL
+  SELECT query_id, doc_id, 0.5 / (60.0 + rank) AS part FROM knn_leg
+),
+fused AS (
+  SELECT query_id, doc_id, sum(part) AS rrf
+  FROM parts GROUP BY query_id, doc_id
+),
+rankedf AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY rrf DESC, CAST(doc_id AS VARCHAR) ASC
+         )::INT AS rank
+  FROM fused
+)
+SELECT query_id, CAST(doc_id AS VARCHAR) AS doc_uid,
+       round(rrf, {ROUND}) + 0.0 AS score, rank
+FROM rankedf WHERE rank <= {TOP_K}
+"""
+
+
+_ORACLES["query_df_hybrid"] = _query_df_oracle()
 
 
 def q_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -226,6 +226,7 @@ class SparkHybridRetriever:
         ann_threshold: Optional[int] = None,
         ann_nprobe: Optional[int] = None,
         bm25_strategy: str = "auto",
+        doc_id_expr: Optional[Callable] = None,
     ):
         """auto_compact_after: fold DML generations back into the base
         once that many accumulate (bounds read amplification under
@@ -262,10 +263,21 @@ class SparkHybridRetriever:
         (query cap 1000) any corpus over ~1000 docs containing a
         common query term would make query() raise. Callers that want
         reference cap semantics pass an explicit config and use the
-        logical path."""
+        logical path.
+
+        doc_id_expr: Column -> Column mapping a doc_uid (string) to
+        the engine's internal 64-bit doc id (default: xxhash64).
+        Must be deterministic and injective over the corpus's uids,
+        and — like embedding_function — stable across sessions for a
+        persisted state (the sharded index stores these ids). Rank
+        tie-breaks order on this id, so a caller that needs an
+        externally reproducible tie order (e.g. a SQL oracle
+        mirroring query_df: xxhash64 has no DuckDB twin) can pass a
+        mirrorable expression such as a numeric-uid cast."""
         self.spark = spark
         self.state = Path(state_path)
         self.embed = embedding_function or default_embedder()
+        self._id_expr: Callable = doc_id_expr or _doc_id_expr
         self.config = config or BM25Config(
             max_postings_per_term=None,
             query_postings_cap=None,
@@ -453,7 +465,7 @@ class SparkHybridRetriever:
         old_versions = None
         if self._index is not None:
             prior = self._filter_by_ids(self.corpus_df(), doc_ids).select(
-                _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+                self._id_expr(F.col("doc_uid")).alias("doc_id"), "text"
             )
             if not prior.isEmpty():
                 snap = self.state / "tmp" / "old_versions.parquet"
@@ -479,7 +491,7 @@ class SparkHybridRetriever:
         ).write.mode("overwrite").parquet(str(self._next_gen("vectors")))
 
         docs_long = batch.select(
-            _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+            self._id_expr(F.col("doc_uid")).alias("doc_id"), "text"
         )
         idx_dir = self.state / "index"
         if self._index is None:
@@ -547,7 +559,7 @@ class SparkHybridRetriever:
             prior = self.corpus_df().join(
                 batch.select("doc_uid"), "doc_uid", "left_semi"
             ).select(
-                _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+                self._id_expr(F.col("doc_uid")).alias("doc_id"), "text"
             )
             if not prior.isEmpty():
                 snap = self.state / "tmp" / "old_versions.parquet"
@@ -569,7 +581,7 @@ class SparkHybridRetriever:
             ).parquet(str(self._next_gen("vectors")))
 
         docs_long = written.select(
-            _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+            self._id_expr(F.col("doc_uid")).alias("doc_id"), "text"
         )
         idx_dir = self.state / "index"
         if self._index is None:
@@ -681,7 +693,7 @@ class SparkHybridRetriever:
             "overwrite"
         ).parquet(str(gen_path))
         delete_df = self.spark.read.parquet(str(gen_path)).select(
-            _doc_id_expr(F.col("doc_uid")).alias("doc_id"), "text"
+            self._id_expr(F.col("doc_uid")).alias("doc_id"), "text"
         )
         apply_dml(
             self.spark, str(self.state / "index"), delete_docs=delete_df
@@ -743,7 +755,7 @@ class SparkHybridRetriever:
 
     def _uid_map(self) -> DataFrame:
         return self.corpus_df().select(
-            "doc_uid", _doc_id_expr(F.col("doc_uid")).alias("doc_id")
+            "doc_uid", self._id_expr(F.col("doc_uid")).alias("doc_id")
         )
 
     def search_bm25(
@@ -885,7 +897,7 @@ class SparkHybridRetriever:
             return None
         pdf = vecs.select(
             "doc_uid",
-            _doc_id_expr(F.col("doc_uid")).cast("string").alias("vec_id"),
+            self._id_expr(F.col("doc_uid")).cast("string").alias("vec_id"),
             "embedding",
         ).toPandas()
         self._vec_cache = _VecCache(
@@ -1059,7 +1071,7 @@ class SparkHybridRetriever:
         from bm25_chroma_spark.operators.knn import knn_bruteforce, knn_ivf
 
         self.last_vector_engine = "spark"
-        src = vecs.withColumn("vec_id", _doc_id_expr(F.col("doc_uid")))
+        src = vecs.withColumn("vec_id", self._id_expr(F.col("doc_uid")))
         qvecs = self.embed(query_texts)
         if ivf_route:
             self.last_vector_route = "ivf"
@@ -1180,7 +1192,12 @@ class SparkHybridRetriever:
             result["embeddings"] = all_embeds
         return result
 
-    def query_df(self, queries, n_results: int = 10) -> DataFrame:
+    def query_df(
+        self,
+        queries,
+        n_results: int = 10,
+        score_round: Optional[int] = None,
+    ) -> DataFrame:
         """DataFrame-in/DataFrame-out batch query surface for offline
         evaluation over large query sets (VERDICT r5 #5): the same
         hybrid semantics as ``query()`` — each leg at n_results*2,
@@ -1197,6 +1214,12 @@ class SparkHybridRetriever:
         queries: DataFrame (query_id long, query_text string) or a
         plain list of texts (query_id = position).
         -> DataFrame (query_id, doc_uid, score, distance, rank).
+
+        score_round: round each leg's score/distance to this many
+        decimals BEFORE leg ranking (the cross-engine float contract:
+        sums of >2 terms are order-sensitive at ulp scale, so an
+        external mirror — e.g. the SQL oracle — can only reproduce
+        leg ranks on rounded scores). Default None keeps raw floats.
         """
         if not isinstance(queries, DataFrame):
             queries = self.spark.createDataFrame(
@@ -1218,6 +1241,7 @@ class SparkHybridRetriever:
             res = search_sharded(
                 self._index, qrows, top_k=top_k,
                 strategy=self.bm25_strategy,
+                score_round=score_round,
             )
             # broadcast the RESULT side: it is |Q|*top_k rows by
             # contract, but Catalyst has no size estimate for a
@@ -1238,7 +1262,7 @@ class SparkHybridRetriever:
             )
 
             src = vecs.withColumn(
-                "vec_id", _doc_id_expr(F.col("doc_uid"))
+                "vec_id", self._id_expr(F.col("doc_uid"))
             )
             embs = self.embed([t for _, t in qrows])
             qvecs = self.spark.createDataFrame(
@@ -1260,12 +1284,14 @@ class SparkHybridRetriever:
                     vec_col="embedding", n_cells=len(centroids),
                     nprobe=self.ann_nprobe or max(2, len(centroids) // 4),
                     centroids=centroids,
+                    score_round=score_round,
                 )
             else:
                 self.last_vector_route = "exact"
                 resv = knn_bruteforce(
                     src, qvecs, k=top_k, id_col="vec_id",
                     vec_col="embedding",
+                    score_round=score_round,
                 )
             uid = self._uid_map().withColumnRenamed("doc_id", "vec_id")
             # broadcast the |Q|*top_k result side (see bm25 leg note)
