@@ -8,16 +8,43 @@ map-side pass with no shuffle.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword sets (n-gram-free heuristic ID). Sets are
-# disjoint where possible so a hit is discriminative.
+# Per-language stopword sets for the heuristic language HINT. The
+# sets are pairwise DISJOINT by construction (pinned by
+# tests/test_dedup_text.py::test_stopword_sets_disjoint) so every hit
+# is discriminative: shared Romance/Germanic function words that
+# would vote for two languages (de/que/como/este/mais-vs-mais, …) are
+# deliberately ABSENT from all lists. This keeps precision high at
+# the cost of recall — see lang_id's docstring for the accuracy
+# contract.
 STOPWORDS = {
-    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
-    "fr": ["le", "la", "les", "et", "est", "une", "pas", "pour"],
-    "es": ["el", "los", "las", "es", "una", "para", "con", "por"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for",
+           "with", "was", "this", "from", "not", "are", "they",
+           "have", "you"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit",
+           "auch", "eine", "sich", "auf", "dem", "wird", "von", "zu",
+           "sind", "werden"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pas", "pour",
+           "dans", "qui", "sur", "avec", "sont", "nous", "vous",
+           "cette", "aux", "ces"],
+    "es": ["el", "los", "las", "es", "una", "para", "con", "por",
+           "del", "pero", "más", "muy", "cuando", "sus", "hay",
+           "también", "donde", "tiene"],
+    "pt": ["não", "uma", "são", "também", "você", "isso", "mais",
+           "já", "em", "dos", "sua", "foi", "ele", "muito", "seu",
+           "até"],
+    "it": ["il", "di", "che", "non", "per", "sono", "della", "anche",
+           "gli", "più", "nel", "alla", "questo", "come", "molto",
+           "essere"],
+    "nl": ["het", "een", "niet", "zijn", "voor", "maar", "ook",
+           "naar", "wordt", "heeft", "deze", "geen", "bij", "uit",
+           "aan"],
+    "sv": ["och", "att", "är", "som", "inte", "ett", "på", "med",
+           "för", "har", "detta", "vid", "också"],
 }
 
 
@@ -47,7 +74,21 @@ def lang_hits(col: Column, lang: str) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Best-scoring language code, 'und' when nothing hits."""
+    """Best-scoring language code over the STOPWORDS families
+    (currently en/de/fr/es/pt/it/nl/sv), 'und' when nothing hits.
+
+    ACCURACY CONTRACT — this is a stopword-hit HINT, not a language
+    model: it is precise when it answers (the lists are pairwise
+    disjoint, so a vote is discriminative; 100% on the labeled
+    sentence sample in tests/test_dedup_text.py::
+    test_lang_id_labeled_sample) but has limited recall — text
+    without any listed function word returns 'und', short or
+    code-mixed text can mislabel, and unlisted languages are
+    unscored. For production language ID use a trained classifier
+    (fastText-class); this exists so 100 TB pipelines get a
+    zero-dependency scan-speed JVM expression. ``lang_hint`` is the
+    honestly-named alias. Ties break toward the lexicographically
+    larger code (array_max over (hits, lang) structs)."""
     langs = sorted(STOPWORDS)
     pairs = F.array(
         *[
@@ -59,6 +100,11 @@ def lang_id(col: Column) -> Column:
     )
     best = F.array_max(pairs)
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# honestly-named alias: what lang_id computes is a hint (see its
+# accuracy contract), and pipelines should read it as one
+lang_hint = lang_id
 
 
 def token_count_ws(col: Column) -> Column:
@@ -405,12 +451,30 @@ def chunk_documents(
     )
 
 
+PACK_ROWS_PER_GROUP = 10_000_000
+
+
+def packing_groups_for(
+    n_docs: int, rows_per_group: int = PACK_ROWS_PER_GROUP
+) -> int:
+    """Scale rule for pack_sequences' n_groups: enough independent
+    streams that each window partition sorts at most ~rows_per_group
+    rows in its one task (10M rows of (id, int, int) ≈ a few hundred
+    MB of sort working set — comfortably one executor task), floored
+    at 64 so small corpora still parallelize across a cluster.
+    64 is fine up to ~640M docs; at 10^12 docs this returns 100k
+    streams."""
+    import math as _math
+
+    return max(64, _math.ceil(max(0, n_docs) / rows_per_group))
+
+
 def pack_sequences(
     df,
     max_tokens: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_groups: int = 64,
+    n_groups: Optional[int] = 64,
     counter: str = "ws",
 ):
     """Deterministic doc-level sequence packing for LLM-training
@@ -422,16 +486,25 @@ def pack_sequences(
     streams (pmod of the id — deterministic, reproducible), and within
     each stream a window cumulative-sum assigns
     ``bin = floor(tokens_before_me / max_tokens)`` over id order. Each
-    stream's window is one shuffle partition's worth of work; streams
-    pack in parallel. Docs longer than max_tokens still get one bin
-    (downstream chunking splits them). Token accounting: 'ws'
-    (whitespace) or 'bpe' (subword proxy).
+    stream's window is ONE task sorting ~corpus/n_groups rows, so
+    n_groups is the scale knob: the default 64 is a single-task
+    bottleneck past ~640M docs. Pass ``n_groups=None`` to derive it
+    from a count via ``packing_groups_for`` (≤ ~10M rows per stream) —
+    that mode costs one count job, and the chosen value is
+    data-dependent, so pin n_groups explicitly when bit-stable output
+    across growing corpora matters (the chosen value is always
+    recoverable from the output as max(pack_group) + 1). Docs longer
+    than max_tokens still get one bin (downstream chunking splits
+    them). Token accounting: 'ws' (whitespace) or 'bpe' (subword
+    proxy).
 
     -> (id_col, n_tokens int, pack_group int, pack_bin long,
         plus passthrough of text_col is intentionally dropped).
     """
     from pyspark.sql import Window
 
+    if n_groups is None:
+        n_groups = packing_groups_for(df.count())
     count_fn = token_count_ws if counter == "ws" else token_count_bpe_ish
     base = df.select(
         F.col(id_col),

@@ -1060,12 +1060,12 @@ SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAMMING}
 """
 
-_SW = {
-    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
-    "fr": ["le", "la", "les", "et", "est", "une", "pas", "pour"],
-    "es": ["el", "los", "las", "es", "una", "para", "con", "por"],
-}
+# stopword lists imported from the engine so the oracle can never
+# drift from what lang_id actually votes on (they were a copy before
+# r7's coverage extension to 8 languages)
+from bm25_chroma_spark.functions.text_analysis import (  # noqa: E402
+    STOPWORDS as _SW,
+)
 
 
 def _sql_lang_hits(lang: str) -> str:
@@ -1075,27 +1075,39 @@ def _sql_lang_hits(lang: str) -> str:
     )
 
 
-_ORACLES["lang_id"] = rf"""
+def _lang_id_oracle() -> str:
+    """Generated mirror of lang_id's array_max-over-(hits, lang)
+    vote: highest hit count wins, ties break toward the
+    lexicographically LARGER language code — so the CASE tests codes
+    in DESCENDING order."""
+    langs = sorted(_SW)
+    hits = ",\n         ".join(
+        f"{_sql_lang_hits(lg)} AS h_{lg}" for lg in langs
+    )
+    g = "greatest({})".format(", ".join(f"h_{lg}" for lg in langs))
+    desc = sorted(langs, reverse=True)
+    cases = "\n            ".join(
+        f"WHEN h_{lg} = {g} THEN '{lg}'" for lg in desc[:-1]
+    )
+    return rf"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS words
   FROM documents
 ),
 h AS (
   SELECT doc_id,
-         {_sql_lang_hits('de')} AS h_de,
-         {_sql_lang_hits('en')} AS h_en,
-         {_sql_lang_hits('es')} AS h_es,
-         {_sql_lang_hits('fr')} AS h_fr
+         {hits}
   FROM w
 )
 SELECT doc_id,
-       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
-            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-            ELSE 'de' END AS lang_pred
+       CASE WHEN {g} = 0 THEN 'und'
+            {cases}
+            ELSE '{desc[-1]}' END AS lang_pred
 FROM h
 """
+
+
+_ORACLES["lang_id"] = _lang_id_oracle()
 
 _SQL_EN_SW = ", ".join(f"'{w}'" for w in _SW["en"])
 
