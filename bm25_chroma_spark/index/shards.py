@@ -1025,6 +1025,67 @@ class ShardedIndex:
                 out[t] = rows
         return out
 
+    # ---- hot-set persistence (opt-in interactive pre-warm) ---------
+    #
+    # The postings LRU dies with the driver process, so a retriever
+    # reconstructed on a fresh driver starts cold and its first
+    # repeat query pays the full distributed floor. save_hot_set
+    # persists the LRU's TERM LIST (names only — never posting bytes,
+    # so the file is a few KB and carries no stale data risk);
+    # prewarm on a fresh handle refills the LRU and the df cache with
+    # ONE bucket-pruned collect. Staleness semantics are unchanged by
+    # construction: the hot set is a HINT — prewarm fetches rows from
+    # the live generation overlay through postings_rows, whose
+    # entries stay generation-tagged, so a hot set saved before a DML
+    # can never surface pre-DML rows.
+
+    def save_hot_set(self, max_terms: int = 4096) -> int:
+        """Write the current-generation cached terms (MRU tail, at
+        most max_terms) to hot_terms.json in the index dir, atomic
+        rename like every other state commit. Returns the count."""
+        import json
+
+        terms = [
+            t
+            for t, (g, _nb, rows) in self._postings_cache.items()
+            if rows is not None and g == self.generation
+        ][-max_terms:]
+        payload = {"generation": self.generation, "terms": terms}
+        tmp = self.path / "hot_terms.json.tmp"
+        tmp.write_text(json.dumps(payload))
+        tmp.replace(self.path / "hot_terms.json")
+        return len(terms)
+
+    def prewarm(self, terms: Optional[List[str]] = None,
+                max_terms: int = 4096) -> int:
+        """Fill the postings LRU and the per-term df cache for
+        ``terms`` (default: the persisted hot set) with one
+        bucket-pruned collect, so a reloaded interactive handle
+        serves its first repeat query without the scan+decode
+        pipeline. Returns the number of terms warmed (0 when no hot
+        set exists)."""
+        import json
+
+        if terms is None:
+            f = self.path / "hot_terms.json"
+            if not f.exists():
+                return 0
+            try:
+                terms = json.loads(f.read_text()).get("terms", [])
+            except (ValueError, OSError):
+                return 0
+        terms = list(terms)[:max_terms]
+        if not terms:
+            return 0
+        rows_map = self.postings_rows(terms)
+        for t in terms:
+            # same quantity search_sharded's df collect computes:
+            # sum of live per-segment dfs, 0 for unknown terms
+            self._df_cache[t] = sum(
+                int(r.df) for r in rows_map.get(t, [])
+            )
+        return len(terms)
+
 
 class _CachedShardRow:
     """Plain driver-side shard row; attribute layout matches what

@@ -1347,6 +1347,60 @@ class SparkHybridRetriever:
     # stats                                                         #
     # ------------------------------------------------------------ #
 
+    def save_hot_set(
+        self, max_terms: int = 4096, max_uids: int = 10_000
+    ) -> int:
+        """Persist the interactive hot state so a retriever
+        reconstructed on a fresh driver can prewarm(): the postings
+        LRU's TERM set (names only — ShardedIndex.save_hot_set) plus
+        the uid LRU's (doc_id -> doc_uid) entries. The uid pairs are
+        safe to serve directly after reload because they are
+        IMMUTABLE facts of the configured doc_id_expr (deterministic
+        and injective: a given id always names the same uid,
+        regardless of any DML in between) — unlike posting rows,
+        which are state and are therefore only ever re-FETCHED, never
+        persisted. Returns the number of hot terms saved."""
+        import json as _json
+
+        if self._index is None:
+            return 0
+        n = self._index.save_hot_set(max_terms=max_terms)
+        pairs = list(self._uid_cache.items())[-max_uids:]
+        tmp = self.state / "warm_uids.json.tmp"
+        tmp.write_text(
+            _json.dumps({"entries": [[int(k), v] for k, v in pairs]})
+        )
+        tmp.replace(self.state / "warm_uids.json")
+        return n
+
+    def prewarm(self, max_terms: int = 4096) -> int:
+        """Opt-in cold-start warm-up: refill the postings LRU + df
+        cache from the persisted hot set with one bucket-pruned
+        collect, and reload the persisted uid pairs, so the first
+        repeat interactive query on a reloaded handle launches ZERO
+        Spark jobs. Staleness semantics unchanged: posting rows fetch
+        from the live generation overlay; uid pairs are immutable
+        under the id expression (see save_hot_set)."""
+        import json as _json
+
+        if self._index is None:
+            return 0
+        n = self._index.prewarm(max_terms=max_terms)
+        f = self.state / "warm_uids.json"
+        if f.exists():
+            try:
+                entries = _json.loads(f.read_text()).get("entries", [])
+            except (ValueError, OSError):
+                entries = []
+            if entries:
+                # validate the key FIRST: _warm_caches clears the
+                # LRUs whenever the corpus-state key moves, which on
+                # a fresh handle is always (key None) — fill after
+                self._warm_caches()
+                for k, v in entries[-self.uid_cache_max_entries:]:
+                    self._uid_cache[int(k)] = v
+        return n
+
     def get_system_stats(self) -> Dict:
         corpus_n = self.corpus_df().count()
         if self._index is None:
