@@ -940,11 +940,14 @@ class ShardedIndex:
     # queried terms on the driver and run the exact Block-Max WAND
     # DAAT loop locally (index/wand.py _run_local) — identical
     # results (WAND is rank-safe exact, and the local path shares the
-    # cursors/heap verbatim), zero Spark jobs when warm. Terms whose
-    # df exceeds the caller's postings budget are never fetched, so
-    # hot 100 TB terms keep their distributed path; the budget bounds
-    # driver memory, LRU keeps it hot, and every entry carries the
-    # index generation so DML can never be served stale rows.
+    # cursors/heap verbatim), zero Spark jobs when warm. A term whose
+    # rows exceed the whole budget is fetched and served ONCE, then
+    # cached as a too-big marker that postings_cacheable() reads to
+    # keep it off the driver path while the generation holds (the
+    # per-query est_work gate in search_sharded bounds what can reach
+    # here in the first place); the budget bounds resident driver
+    # memory, LRU keeps it hot, and every entry carries the index
+    # generation so DML can never be served stale rows.
     postings_cache_bytes: int = 256 << 20
 
     def postings_cacheable(self, terms: List[str]) -> bool:
@@ -1059,11 +1062,18 @@ class ShardedIndex:
     def prewarm(self, terms: Optional[List[str]] = None,
                 max_terms: int = 4096) -> int:
         """Fill the postings LRU and the per-term df cache for
-        ``terms`` (default: the persisted hot set) with one
-        bucket-pruned collect, so a reloaded interactive handle
-        serves its first repeat query without the scan+decode
-        pipeline. Returns the number of terms warmed (0 when no hot
-        set exists)."""
+        ``terms`` (default: the persisted hot set) via bucket-pruned
+        collects, so a reloaded interactive handle serves its first
+        repeat query without the scan+decode pipeline. Returns the
+        number of terms warmed (0 when no hot set exists).
+
+        Fetches run in CHUNKS of 64 terms and stop once the cache
+        budget is full: a hot set of thousands of individually-large
+        terms must not materialize unbounded posting bytes on the
+        driver in one collect (the per-query est_work gate that
+        protects postings_rows' normal callers does not apply here).
+        A typical interactive hot set is a few dozen terms = one
+        collect."""
         import json
 
         if terms is None:
@@ -1077,14 +1087,20 @@ class ShardedIndex:
         terms = list(terms)[:max_terms]
         if not terms:
             return 0
-        rows_map = self.postings_rows(terms)
-        for t in terms:
-            # same quantity search_sharded's df collect computes:
-            # sum of live per-segment dfs, 0 for unknown terms
-            self._df_cache[t] = sum(
-                int(r.df) for r in rows_map.get(t, [])
-            )
-        return len(terms)
+        warmed = 0
+        for i in range(0, len(terms), 64):
+            if self._postings_cache_used >= self.postings_cache_bytes:
+                break
+            chunk = terms[i : i + 64]
+            rows_map = self.postings_rows(chunk)
+            for t in chunk:
+                # same quantity search_sharded's df collect computes:
+                # sum of live per-segment dfs, 0 for unknown terms
+                self._df_cache[t] = sum(
+                    int(r.df) for r in rows_map.get(t, [])
+                )
+            warmed += len(chunk)
+        return warmed
 
 
 class _CachedShardRow:

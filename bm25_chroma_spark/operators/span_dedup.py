@@ -72,6 +72,13 @@ from pyspark.sql import functions as F
 from bm25_chroma_spark.functions.text_analysis import word_ngrams
 
 
+def _validate_span_params(span_tokens: int, min_docs: int) -> None:
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (cross-document spans)")
+
+
 def repeated_span_keys(
     docs: DataFrame,
     span_tokens: int = 50,
@@ -79,33 +86,43 @@ def repeated_span_keys(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = True,
+    unique_ids: bool = True,
 ) -> DataFrame:
     """Shingle keys of length ``span_tokens`` that occur in at least
     ``min_docs`` distinct documents -> (gram_key long | gram string,
-    n_docs int).
+    n_docs long).
 
-    Distinctness is established map-side (``array_distinct`` per doc
-    before the explode), so the aggregate is a partial-agg-friendly
-    ``count(*)`` over (doc, key) pairs — one shuffle, 8-byte keys by
-    default.
+    ``unique_ids=True`` (default) assumes one row per document id —
+    the normal post-``dedup_exact`` pipeline state — so per-doc
+    distinctness is established entirely map-side (``array_distinct``
+    per row before the explode) and the aggregate is a
+    partial-agg-friendly ``count(*)``: one shuffle, 8-byte keys by
+    default. If the input may carry the same document in several rows
+    (pre-dedup unions, re-ingests), pass ``unique_ids=False`` to
+    count ``count_distinct(id_col)`` instead — correct under
+    duplicate rows at the cost of carrying ids through the shuffle.
     """
-    if span_tokens < 2:
-        raise ValueError("span_tokens must be >= 2")
-    if min_docs < 2:
-        raise ValueError("min_docs must be >= 2 (cross-document spans)")
+    _validate_span_params(span_tokens, min_docs)
     per_doc = docs.select(
+        F.col(id_col),
         F.explode(
             F.array_distinct(word_ngrams(F.col(text_col), span_tokens))
-        ).alias("gram")
+        ).alias("gram"),
     )
     if hash_grams:
-        per_doc = per_doc.select(F.xxhash64("gram").alias("gram_key"))
+        per_doc = per_doc.select(
+            id_col, F.xxhash64("gram").alias("gram_key")
+        )
         key = "gram_key"
     else:
         key = "gram"
+    if unique_ids:
+        agg = F.count("*")
+    else:
+        agg = F.count_distinct(F.col(id_col))
     return (
         per_doc.groupBy(key)
-        .agg(F.count("*").cast("int").alias("n_docs"))
+        .agg(agg.alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
 
@@ -118,6 +135,7 @@ def remove_repeated_spans(
     id_col: str = "doc_id",
     hash_grams: bool = True,
     keys: Optional[DataFrame] = None,
+    unique_ids: bool = True,
 ) -> DataFrame:
     """Cut every occurrence of every word span repeated across
     >= ``min_docs`` documents -> (id_col, text_col, n_removed int).
@@ -129,9 +147,15 @@ def remove_repeated_spans(
 
     ``keys`` lets a precomputed ``repeated_span_keys`` result (e.g.
     one shared across corpus shards, or persisted between runs) be
-    reused; it must have been built with the same ``span_tokens`` and
-    ``hash_grams``.
+    reused. It MUST have been built with the same ``span_tokens`` and
+    ``hash_grams`` — a mismatch is undetectable here (the join keys
+    simply never match and nothing is removed), so callers reusing
+    keys across runs should persist span_tokens alongside them. The
+    key column name is validated; see ``unique_ids`` on
+    repeated_span_keys for duplicate-row inputs.
     """
+    _validate_span_params(span_tokens, min_docs)
+    key = "gram_key" if hash_grams else "gram"
     if keys is None:
         keys = repeated_span_keys(
             docs,
@@ -140,8 +164,13 @@ def remove_repeated_spans(
             text_col=text_col,
             id_col=id_col,
             hash_grams=hash_grams,
+            unique_ids=unique_ids,
         )
-    key = "gram_key" if hash_grams else "gram"
+    elif key not in keys.columns:
+        raise ValueError(
+            f"precomputed keys frame lacks the '{key}' column expected "
+            f"for hash_grams={hash_grams}; got {keys.columns}"
+        )
 
     pos = docs.select(
         F.col(id_col),

@@ -1192,6 +1192,11 @@ class SparkHybridRetriever:
             result["embeddings"] = all_embeds
         return result
 
+    # leg results up to this many rows broadcast into the uid-map
+    # join (each row is ~50 bytes: two longs, a double, an int);
+    # larger offline batches keep the shuffle join
+    _QDF_BROADCAST_ROWS: int = 4_000_000
+
     def query_df(
         self,
         queries,
@@ -1203,9 +1208,12 @@ class SparkHybridRetriever:
         hybrid semantics as ``query()`` — each leg at n_results*2,
         RRF(ratio=0.5, k=60) where BOTH legs answered a query, the
         single leg's raw scores truncated to n_results where only one
-        did, distance = 1 - score — but the results never land on the
-        driver: legs stay DataFrames end-to-end and fusion is the
-        distributed rrf_fuse (sums of exactly two parts, so scores
+        did, distance = 1 - score — but the results are never
+        collected into Python: legs stay DataFrames end-to-end (small
+        batches broadcast their |Q|*k leg rows into the uid-map join,
+        bounded by _QDF_BROADCAST_ROWS; huge batches keep the shuffle
+        join) and fusion is the distributed rrf_fuse (sums of exactly
+        two parts, so scores
         are bit-identical to the driver-side rrf_fuse_py). Query
         TEXTS are collected driver-side (tokenizer + embedder
         contract, same as every query path); RESULTS are |Q| x k and
@@ -1243,11 +1251,16 @@ class SparkHybridRetriever:
                 strategy=self.bm25_strategy,
                 score_round=score_round,
             )
-            # broadcast the RESULT side: it is |Q|*top_k rows by
-            # contract, but Catalyst has no size estimate for a
-            # windowed result and would sort-merge join the
-            # corpus-sized uid map (same reasoning as search_bm25)
-            bm25 = F.broadcast(res).join(self._uid_map(), "doc_id").select(
+            # broadcast the RESULT side when bounded: it is |Q|*top_k
+            # rows by contract but Catalyst has no size estimate for
+            # a windowed result and would sort-merge join the
+            # corpus-sized uid map (same reasoning as search_bm25).
+            # For huge offline batches (|Q|*top_k beyond the
+            # broadcast-safe bound) keep the shuffle join — a 1M-query
+            # evaluation must not collect 200M leg rows to the driver.
+            if len(qrows) * top_k <= self._QDF_BROADCAST_ROWS:
+                res = F.broadcast(res)
+            bm25 = res.join(self._uid_map(), "doc_id").select(
                 "query_id", "doc_uid",
                 F.col("score").alias("leg_score"), "rank",
             )
@@ -1294,8 +1307,10 @@ class SparkHybridRetriever:
                     score_round=score_round,
                 )
             uid = self._uid_map().withColumnRenamed("doc_id", "vec_id")
-            # broadcast the |Q|*top_k result side (see bm25 leg note)
-            vec = F.broadcast(resv).join(uid, "vec_id").select(
+            # bounded-size broadcast of the result side (bm25 leg note)
+            if len(qrows) * top_k <= self._QDF_BROADCAST_ROWS:
+                resv = F.broadcast(resv)
+            vec = resv.join(uid, "vec_id").select(
                 "query_id", "doc_uid",
                 F.col("sim").alias("leg_score"), "rank",
             )

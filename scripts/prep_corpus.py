@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--span-min-docs", type=int, default=2,
                    help="a span must appear in this many DISTINCT "
                         "docs to be cut")
+    p.add_argument("--keep-staged", action="store_true",
+                   help="keep the intermediate '<output>_spandedup' "
+                        "parquet written by --dedup-spans (default: "
+                        "deleted after the final write)")
     p.add_argument("--no-redact", action="store_true",
                    help="keep raw text instead of PII-redacted")
     p.add_argument("--benchmark",
@@ -143,6 +147,8 @@ def run(args) -> dict:
         ).write.mode("overwrite").parquet(staged)
         docs = spark.read.parquet(staged)
         span_cols = [F.col("n_removed")]
+    else:
+        staged = None
 
     annotated = docs.select(
         F.col(args.id_col),
@@ -247,6 +253,18 @@ def run(args) -> dict:
     }
     report["splits"] = split_counts
     report["output_docs"] = int(sum(split_counts.values()))
+    if staged is not None:
+        # the staged copy is corpus-sized: delete it through the
+        # Hadoop FS API (works for any scheme, not just file://)
+        # unless the operator asked to keep it for inspection/reuse
+        if args.keep_staged:
+            report["span_staged_path"] = staged
+        else:
+            jvm = spark._jvm
+            jsc = spark._jsc
+            hpath = jvm.org.apache.hadoop.fs.Path(staged)
+            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
     return report
 
 

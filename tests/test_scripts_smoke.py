@@ -250,6 +250,10 @@ def test_prep_corpus_dedup_spans(spark, tmp_path, monkeypatch):
 
     report = json.loads(open(rpt).read())
     assert report["span_tokens_removed"] == 24  # 12 tokens x 2 docs
+    # the corpus-sized staged copy is deleted by default
+    import os
+    assert not os.path.exists(out + "_spandedup")
+    assert "span_staged_path" not in report
     got = spark.read.parquet(out)
     assert "n_removed" not in got.columns
     texts = {r["doc_id"]: r["text"] for r in got.collect()}

@@ -408,11 +408,19 @@ def test_postings_cache_warm_identical_and_bounded(
     got = {(r[0], r[3]): r[1] for r in map(tuple, c)}
     want = {(r[0], r[3]): r[1] for r in map(tuple, a)}
     assert got == want
-    # a tiny budget forces eviction down to at most the budget
+    # a tiny budget forces eviction down to at most the budget; since
+    # r7 the over-budget terms leave zero-byte too-big MARKERS
+    # (rows=None) that postings_cacheable() reads to route them
+    # distributed — accounted bytes still drop to the budget
     idx.refresh()
     idx.postings_cache_bytes = 1  # every entry evicts immediately
     search_sharded(idx, queries_df, top_k=10, strategy="auto").collect()
-    assert idx._postings_cache_used <= 1 and not idx._postings_cache
+    assert idx._postings_cache_used <= 1
+    assert all(
+        rows is None and nb == 0
+        for (_g, nb, rows) in idx._postings_cache.values()
+    )
+    assert not idx.postings_cacheable(list(idx._postings_cache))
 
 
 def test_postings_cache_not_served_across_generations(

@@ -238,3 +238,42 @@ def test_plan_has_no_python_udf_and_one_window_free_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "partial_count" in plan
+
+
+def test_keys_column_validation(spark):
+    docs = _docs_df(spark, [(0, "a b c d e f")])
+    bad = spark.createDataFrame([("x",)], "gram string")
+    with pytest.raises(ValueError, match="gram_key"):
+        remove_repeated_spans(docs, span_tokens=3, keys=bad)
+    # and param validation applies on the keys path too
+    ok = spark.createDataFrame([(1,)], "gram_key long")
+    with pytest.raises(ValueError, match="span_tokens"):
+        remove_repeated_spans(docs, span_tokens=1, keys=ok)
+
+
+def test_unique_ids_false_counts_distinct_docs(spark):
+    """A document duplicated under the SAME id (pre-dedup unions)
+    must not self-promote its spans to 'cross-document' when the
+    caller declares duplicate rows possible."""
+    rows = [
+        (0, "solo span alpha beta gamma delta only here"),
+        (0, "solo span alpha beta gamma delta only here"),
+        (1, "unrelated text body with different words entirely"),
+    ]
+    docs = _docs_df(spark, rows)
+    # default fast path treats rows as docs: df=2 -> removed
+    fast = {
+        (r["doc_id"], r["n_removed"])
+        for r in remove_repeated_spans(
+            docs, span_tokens=4, min_docs=2
+        ).collect()
+    }
+    assert (0, 8) in fast
+    # distinct-id counting keeps it: one DISTINCT doc only
+    strict = {
+        r["n_removed"]
+        for r in remove_repeated_spans(
+            docs, span_tokens=4, min_docs=2, unique_ids=False
+        ).collect()
+    }
+    assert strict == {0}
