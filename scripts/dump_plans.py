@@ -216,6 +216,25 @@ def main() -> None:
         ),
     ))
 
+    from bm25_chroma_spark.operators.span_dedup import (
+        remove_repeated_spans,
+    )
+
+    sections.append((
+        "Repeated-span removal (r7, Lee et al. ExactSubstr shape): "
+        "stage 1 counts per-doc-DISTINCT shingles map-side "
+        "(array_distinct before the explode -> partial+final "
+        "count(*) on 8-byte xxhash64 keys); stage 2 position-joins "
+        "against the filtered repeated-key set (non-repeats die in "
+        "the join, AQE picks broadcast when the key set is small) "
+        "-> id-only groupBy; stage 3 joins hits back and rebuilds "
+        "text in one pure-JVM projection over a materialized token "
+        "array",
+        explain_str(
+            remove_repeated_spans(docs, span_tokens=10, min_docs=2)
+        ),
+    ))
+
     sections.append((
         "Relational showcase Q1-shape: partial+final hash agg, "
         "column-pruned parquet scan (ReadSchema shows only touched "
