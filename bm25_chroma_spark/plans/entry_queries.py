@@ -549,6 +549,76 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4 cleaning entry (Raffel et al. 2020 §2.2): the fixture text is
+# single-line word soup, so both engines build the same deterministic
+# multi-line document around it — good/short/unterminated/javascript
+# lines, plus a lorem-ipsum line on every 7th doc and a curly-brace
+# line on every 11th (document-level discard flags).
+C4_MIN_KEPT = 3
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+document cleaning over injected multi-line text;
+    cleaned text rides as md5 so the hash check covers the full
+    surviving-line join."""
+    from bm25_chroma_spark.functions.web_clean import c4_clean
+
+    did = F.col("doc_id")
+    injected = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("This is a good sentence number "),
+            did.cast("string"), F.lit("."),
+        ),
+        F.lit("too short."),
+        F.lit("no terminal punctuation here"),
+        F.concat(
+            F.lit("Another fine sentence for doc "),
+            did.cast("string"), F.lit("!"),
+        ),
+        F.lit("Enable javascript to view this page."),
+        F.when(
+            did % 7 == 0, F.lit("lorem ipsum dolor sit amet.")
+        ).otherwise(F.lit("A third sentence to pass the bar.")),
+        F.when(
+            did % 11 == 0, F.lit("code { brace line")
+        ).otherwise(F.lit("The final sentence, number four.")),
+    )
+    docs = _load_docs(spark, sf_dir).select(
+        "doc_id", injected.alias("text")
+    )
+    out = c4_clean(docs, min_kept_lines=C4_MIN_KEPT)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        "n_kept", "n_dropped", "c4_keep",
+    )
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + domain lowering over deterministically
+    injected URLs (the fixture has none)."""
+    from bm25_chroma_spark.functions.web_clean import (
+        extract_urls,
+        url_domains,
+    )
+
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" see https://Example"),
+        F.pmod(did, F.lit(50)).cast("string"),
+        F.lit(".com/page?x=1 and http://sub.test-"),
+        F.pmod(did, F.lit(7)).cast("string"),
+        F.lit(".org/path."),
+    )
+    return _load_docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(extract_urls(injected)).cast("int").alias("n_urls"),
+        F.array_join(url_domains(injected), ",").alias("domains"),
+    )
+
+
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SALT = "bm25s"
 
@@ -1252,6 +1322,74 @@ SELECT g.doc_id, count(DISTINCT g.gram)::INT AS n_hit_grams
 FROM grams g JOIN bench USING (gram)
 WHERE g.doc_id % {DECON_MOD} != 0
 GROUP BY g.doc_id
+"""
+
+
+# c4_clean: independent DuckDB mirror of the Raffel et al. rules —
+# list primitives for the line pipeline, same injected document.
+_ORACLES["c4_clean"] = rf"""
+WITH inj AS (
+  SELECT doc_id,
+         'This is a good sentence number ' || CAST(doc_id AS VARCHAR)
+           || '.' || chr(10)
+         || 'too short.' || chr(10)
+         || 'no terminal punctuation here' || chr(10)
+         || 'Another fine sentence for doc ' || CAST(doc_id AS VARCHAR)
+           || '!' || chr(10)
+         || 'Enable javascript to view this page.' || chr(10)
+         || CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+                 ELSE 'A third sentence to pass the bar.' END || chr(10)
+         || CASE WHEN doc_id % 11 = 0 THEN 'code {{ brace line'
+                 ELSE 'The final sentence, number four.' END AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)),
+                     x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                     x -> length(x) > 0) AS lines
+  FROM inj
+),
+k AS (
+  SELECT doc_id, t, lines,
+         list_filter(lines, x ->
+           regexp_matches(x, '[.!?]["”’]?$|["”’]$')
+           AND len(regexp_split_to_array(x, '\s+')) >= 3
+           AND NOT regexp_matches(lower(x), '\bjavascript\b')
+         ) AS kept
+  FROM l
+)
+SELECT doc_id,
+       md5(array_to_string(kept, chr(10))) AS clean_md5,
+       len(kept)::INT AS n_kept,
+       (len(lines) - len(kept))::INT AS n_dropped,
+       (NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(t, '{{')
+        AND len(kept) >= {C4_MIN_KEPT}) AS c4_keep
+FROM k
+"""
+
+_ORACLES["url_domains"] = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' see https://Example'
+              || CAST(((doc_id % 50) + 50) % 50 AS VARCHAR)
+              || '.com/page?x=1 and http://sub.test-'
+              || CAST(((doc_id % 7) + 7) % 7 AS VARCHAR)
+              || '.org/path.' AS t
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         regexp_extract_all(t, 'https?://[^\s<>"]+') AS urls
+  FROM inj
+)
+SELECT doc_id,
+       len(urls)::INT AS n_urls,
+       array_to_string(list_transform(urls,
+         x -> lower(regexp_extract(x, '^https?://([^/:?#]+)', 1))),
+         ',') AS domains
+FROM u
 """
 
 
@@ -1997,6 +2135,8 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "span_dedup": q_span_dedup,
         "pii_redact": q_pii_redact,
+        "c4_clean": q_c4_clean,
+        "url_domains": q_url_domains,
         # vector family
         "embed_corpus": q_embed_corpus,
         "knn_topk": q_knn_topk,

@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-dup3-frac", type=float, default=1.0,
                    help="drop docs whose duplicated-3-gram share "
                         "exceeds this")
+    p.add_argument("--c4-min-lines", type=int, default=0,
+                   help="apply the C4 document rules (Raffel et al. "
+                        "2020): drop docs with 'lorem ipsum', a "
+                        "curly brace, or fewer than this many "
+                        "C4-clean lines (0 = off). Flags docs only — "
+                        "use functions.web_clean.c4_clean for "
+                        "line-level rewriting")
     p.add_argument("--dedup-spans", type=int, default=0,
                    help="remove word spans of >= N tokens repeated "
                         "across documents (0 = off; Lee et al. 2021 "
@@ -176,6 +183,15 @@ def run(args) -> dict:
         "top2": F.col("top2_frac") <= args.max_top2_frac,
         "dup3": F.col("dup3_frac") <= args.max_dup3_frac,
     }
+    if args.c4_min_lines:
+        from bm25_chroma_spark.functions.web_clean import c4_signals
+
+        c4 = c4_signals(t)
+        rules["c4"] = (
+            ~c4["has_lorem"]
+            & ~c4["has_brace"]
+            & (c4["n_kept"] >= args.c4_min_lines)
+        )
     flagged = annotated
     keep = F.lit(True)
     for name, cond in rules.items():

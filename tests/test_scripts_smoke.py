@@ -261,3 +261,38 @@ def test_prep_corpus_dedup_spans(spark, tmp_path, monkeypatch):
     assert "unsubscribe" not in texts[1] and "unsubscribe" not in texts[2]
     assert texts[1].startswith("unique one u1a")
     assert texts[3] == rows[2][1]  # untouched doc byte-identical
+
+
+def test_prep_corpus_c4_rule(spark, tmp_path, monkeypatch):
+    """--c4-min-lines adds the C4 document rules to the filter
+    battery: lorem-ipsum/brace/thin docs drop with a counted
+    reason."""
+    import json
+    import sys
+
+    import scripts.prep_corpus as pc
+
+    good = "\n".join(
+        f"A perfectly fine sentence number {i} here." for i in range(4)
+    )
+    rows = [
+        (1, good),
+        (2, good + "\nsome lorem ipsum filler text."),
+        (3, good + "\ncode sample { inline }"),
+        (4, "Just one good sentence."),
+    ]
+    src = str(tmp_path / "c4docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        src
+    )
+    out = str(tmp_path / "c4prepped")
+    rpt = str(tmp_path / "c4report.json")
+    monkeypatch.setattr(sys, "argv", [
+        "prep_corpus.py", "--input", src, "--output", out,
+        "--report", rpt, "--c4-min-lines", "3", "--salt", "s",
+    ])
+    pc.main()
+    report = json.loads(open(rpt).read())
+    got = spark.read.parquet(out)
+    assert {r["doc_id"] for r in got.collect()} == {1}
+    assert report["dropped_c4"] == 3
