@@ -377,3 +377,61 @@ def test_stream_dedup_ttl_boundary_late_and_null_ts(spark, tmp_path):
     )
     # 1 and 2 emitted; 3 (null ts) dropped before the stateful op
     assert got == [1, 2], got
+
+
+def test_pipeline_expressions_compose_with_streams(spark, tmp_path):
+    """The r6/r7 text-pipeline operators are pure stateless column
+    expressions, so they must run unchanged inside a Structured
+    Streaming query (readStream -> select -> memory sink) and match
+    the batch result row-for-row — the property that lets prep-style
+    annotation run over a live ingest feed."""
+    import shutil
+
+    from bm25_chroma_spark.functions import text_analysis as ta
+    from bm25_chroma_spark.functions.splits import hash_split
+    from bm25_chroma_spark.functions.web_clean import c4_signals
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        src / "documents.parquet",
+    )
+
+    def annotate(df):
+        t = F.col("text")
+        sig = c4_signals(t)
+        out = df.select(
+            "doc_id",
+            ta.lang_hint(t).alias("lang"),
+            ta.token_count_ws(t).cast("int").alias("n_tok"),
+            F.round(ta.duplicate_line_fraction(t), 6).alias("dlf"),
+            F.md5(ta.redact_pii(t)).alias("red"),
+            sig["n_kept"].alias("c4_kept"),
+        )
+        return hash_split(out, {"train": 0.9, "val": 0.1}, salt="s")
+
+    batch = {
+        tuple(r)
+        for r in annotate(
+            spark.read.parquet(str(src / "documents.parquet"))
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).parquet(str(src))
+    q = (
+        annotate(stream)
+        .writeStream.format("memory")
+        .queryName("pipe_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pipe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("pipe_stream").collect()}
+    assert got == batch
+    assert len(got) == 500
