@@ -98,7 +98,13 @@ def c4_clean(
     ``min_kept_lines`` surviving lines) — the rows are returned
     flagged rather than dropped so callers can count, inspect, or
     filter(c4_keep) in the same pass. One narrow projection: no
-    Python, no shuffle, no explode."""
+    Python, no shuffle, no explode.
+
+    Cost note: the kept-lines expression is referenced by four output
+    columns and interpreted higher-order functions are excluded from
+    codegen subexpression elimination, so the line filter evaluates
+    ~4x per row — a constant factor on a scan-speed op (the same
+    tradeoff rep_signals documents), still linear in characters."""
     if min_line_words < 1 or min_kept_lines < 1:
         raise ValueError("min_line_words and min_kept_lines must be >= 1")
     t = F.col(text_col)

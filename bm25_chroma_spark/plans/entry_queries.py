@@ -508,6 +508,35 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash_grams=True DEFAULT path (struct-zip xxhash64 keys —
+    the at-scale shape) against the SAME string-keyed SQL oracle:
+    results are identical unless a 64-bit shingle-key collision
+    occurs, which at the fixture's ~30k distinct shingles has
+    probability ~2^-34 per run and would over-remove (conservative
+    direction) — so a hash match here is direct oracle evidence for
+    the production code path, not just the oracle-friendly one."""
+    from bm25_chroma_spark.operators.span_dedup import (
+        remove_repeated_spans,
+    )
+
+    docs = _load_docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SPAN_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + SPAN_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = remove_repeated_spans(
+        docs, span_tokens=SPAN_TOKENS, min_docs=2, hash_grams=True
+    )
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_removed"
+    )
+
+
 CHUNK_MAX = 16
 
 
@@ -1448,6 +1477,9 @@ LEFT JOIN kept k USING (doc_id)
 """
 
 
+_ORACLES["span_dedup_fast"] = _ORACLES["span_dedup"]
+
+
 _ORACLES["doc_chunks"] = rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w
@@ -2134,6 +2166,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "doc_chunks": q_doc_chunks,
         "span_dedup": q_span_dedup,
+        "span_dedup_fast": q_span_dedup_fast,
         "pii_redact": q_pii_redact,
         "c4_clean": q_c4_clean,
         "url_domains": q_url_domains,
