@@ -1067,13 +1067,18 @@ class ShardedIndex:
         repeat query without the scan+decode pipeline. Returns the
         number of terms warmed (0 when no hot set exists).
 
-        Fetches run in CHUNKS of 64 terms and stop once the cache
-        budget is full: a hot set of thousands of individually-large
-        terms must not materialize unbounded posting bytes on the
-        driver in one collect (the per-query est_work gate that
-        protects postings_rows' normal callers does not apply here).
-        A typical interactive hot set is a few dozen terms = one
-        collect."""
+        Fetches run in CHUNKS of 64 terms and stop once the cache is
+        effectively SATURATED: postings_rows evicts to stay under the
+        budget after every insert, so "full" shows as accounted bytes
+        approaching the budget — continuing past that point would
+        only churn out the terms just warmed (popitem from the LRU
+        head) while materializing more posting bytes on the driver.
+        The chunking also bounds the per-collect transient (the
+        per-query est_work gate that protects postings_rows' normal
+        callers does not apply here). A typical interactive hot set
+        is a few dozen terms = one collect. Returns the number of
+        current-generation term entries actually RESIDENT with rows
+        after warming — not the number requested."""
         import json
 
         if terms is None:
@@ -1087,10 +1092,7 @@ class ShardedIndex:
         terms = list(terms)[:max_terms]
         if not terms:
             return 0
-        warmed = 0
         for i in range(0, len(terms), 64):
-            if self._postings_cache_used >= self.postings_cache_bytes:
-                break
             chunk = terms[i : i + 64]
             rows_map = self.postings_rows(chunk)
             for t in chunk:
@@ -1099,8 +1101,20 @@ class ShardedIndex:
                 self._df_cache[t] = sum(
                     int(r.df) for r in rows_map.get(t, [])
                 )
-            warmed += len(chunk)
-        return warmed
+            # saturation stop: eviction keeps used <= budget, so a
+            # nearly-full accounting means further chunks would evict
+            # what this call just warmed
+            if (
+                self._postings_cache_used
+                >= 0.9 * self.postings_cache_bytes
+            ):
+                break
+        gen = self.generation
+        return sum(
+            1
+            for (g, _nb, rows) in self._postings_cache.values()
+            if rows is not None and g == gen
+        )
 
 
 class _CachedShardRow:

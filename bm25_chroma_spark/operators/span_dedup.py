@@ -136,30 +136,20 @@ def repeated_span_keys(
     duplicate rows at the cost of carrying ids through the shuffle.
     """
     _validate_span_params(span_tokens, min_docs)
-    if hash_grams:
-        per_doc = docs.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(
-                    _gram_keys(F.col(text_col), span_tokens)
-                )
-            ).alias("gram_key"),
-        )
-        key = "gram_key"
-    else:
-        per_doc = docs.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(
-                    word_ngrams(F.col(text_col), span_tokens)
-                )
-            ).alias("gram"),
-        )
-        key = "gram"
-    if unique_ids:
-        agg = F.count("*")
-    else:
-        agg = F.count_distinct(F.col(id_col))
+    grams = (
+        _gram_keys(F.col(text_col), span_tokens)
+        if hash_grams
+        else word_ngrams(F.col(text_col), span_tokens)
+    )
+    key = "gram_key" if hash_grams else "gram"
+    # the fast path never references id_col (df = count of rows whose
+    # per-row distinct set contains the key), so a text-only frame
+    # works with unique_ids=True; only distinct-id counting needs ids
+    id_cols = [] if unique_ids else [F.col(id_col)]
+    per_doc = docs.select(
+        *id_cols, F.explode(F.array_distinct(grams)).alias(key)
+    )
+    agg = F.count("*") if unique_ids else F.count_distinct(F.col(id_col))
     return (
         per_doc.groupBy(key)
         .agg(agg.alias("n_docs"))
@@ -187,12 +177,15 @@ def remove_repeated_spans(
 
     ``keys`` lets a precomputed ``repeated_span_keys`` result (e.g.
     one shared across corpus shards, or persisted between runs) be
-    reused. It MUST have been built with the same ``span_tokens`` and
-    ``hash_grams`` — a mismatch is undetectable here (the join keys
-    simply never match and nothing is removed), so callers reusing
-    keys across runs should persist span_tokens alongside them. The
-    key column name is validated; see ``unique_ids`` on
-    repeated_span_keys for duplicate-row inputs.
+    reused. It MUST have been built with the same ``span_tokens``,
+    ``hash_grams``, AND engine version — the hashed key function is
+    an internal detail (currently xxhash64 over the token struct)
+    that may change between releases, and a mismatch of any of these
+    is undetectable here (the join keys simply never match and
+    nothing is removed). Callers persisting keys across runs should
+    store span_tokens + the producing version alongside them and
+    regenerate on upgrade. The key column name is validated; see
+    ``unique_ids`` on repeated_span_keys for duplicate-row inputs.
     """
     _validate_span_params(span_tokens, min_docs)
     key = "gram_key" if hash_grams else "gram"

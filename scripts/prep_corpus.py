@@ -157,10 +157,21 @@ def run(args) -> dict:
     else:
         staged = None
 
+    c4_cols = []
+    if args.c4_min_lines:
+        from bm25_chroma_spark.functions.web_clean import c4_signals
+
+        # computed HERE, from the RAW text like every other annotate
+        # signal — attaching c4_signals at rule time would evaluate
+        # it over the already-REDACTED text column, making keep/drop
+        # depend on --no-redact (review r7)
+        c4_cols = [c4_signals(t).alias("_c4")]
+
     annotated = docs.select(
         F.col(args.id_col),
         (t if args.no_redact else ta.redact_pii(t)).alias(args.text_col),
         *span_cols,
+        *c4_cols,
         ta.lang_id(t).alias("lang_pred"),
         ta.quality_score(t).alias("quality"),
         ta.token_count_ws(t).cast("int").alias("n_tokens"),
@@ -184,9 +195,7 @@ def run(args) -> dict:
         "dup3": F.col("dup3_frac") <= args.max_dup3_frac,
     }
     if args.c4_min_lines:
-        from bm25_chroma_spark.functions.web_clean import c4_signals
-
-        c4 = c4_signals(t)
+        c4 = F.col("_c4")
         rules["c4"] = (
             ~c4["has_lorem"]
             & ~c4["has_brace"]
@@ -228,6 +237,7 @@ def run(args) -> dict:
         "_keep",
         *[f"_ok_{n}" for n in rules],
         *(["n_removed"] if args.dedup_spans else []),
+        *(["_c4"] if args.c4_min_lines else []),
     )
 
     report = {}

@@ -296,3 +296,38 @@ def test_prep_corpus_c4_rule(spark, tmp_path, monkeypatch):
     got = spark.read.parquet(out)
     assert {r["doc_id"] for r in got.collect()} == {1}
     assert report["dropped_c4"] == 3
+
+
+def test_prep_corpus_c4_rule_uses_raw_text(spark, tmp_path, monkeypatch):
+    """The C4 rule must read RAW text like every other annotate
+    signal: a qualifying line whose word count only drops below the
+    minimum after PII redaction ('Phone 555 123 4567.' -> 'Phone
+    <PHONE>.') must still count as kept (review r7)."""
+    import json
+    import sys
+
+    import scripts.prep_corpus as pc
+
+    rows = [
+        (1, "A good first sentence here.\n"
+            "A good second sentence too.\n"
+            "Phone 555 123 4567."),
+    ]
+    src = str(tmp_path / "c4raw.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        src
+    )
+    out = str(tmp_path / "c4rawout")
+    rpt = str(tmp_path / "c4rawrpt.json")
+    monkeypatch.setattr(sys, "argv", [
+        "prep_corpus.py", "--input", src, "--output", out,
+        "--report", rpt, "--c4-min-lines", "3", "--salt", "s",
+    ])
+    pc.main()
+    report = json.loads(open(rpt).read())
+    assert report["dropped_c4"] == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 1
+    assert "_c4" not in got.columns
+    # and the output text IS redacted
+    assert "<PHONE>" in got.collect()[0]["text"]

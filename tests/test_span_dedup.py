@@ -277,3 +277,20 @@ def test_unique_ids_false_counts_distinct_docs(spark):
         ).collect()
     }
     assert strict == {0}
+
+
+def test_repeated_span_keys_text_only_frame(spark):
+    """The default fast path never references the id column, so key
+    discovery works on a text-only frame (review r7); distinct-id
+    counting is the mode that requires ids."""
+    docs = spark.createDataFrame(
+        [("shared span alpha beta gamma tail one",),
+         ("shared span alpha beta gamma tail two",)],
+        "text string",
+    )
+    keys = repeated_span_keys(docs, span_tokens=4, min_docs=2)
+    assert keys.count() > 0
+    with pytest.raises(Exception):
+        repeated_span_keys(
+            docs, span_tokens=4, min_docs=2, unique_ids=False
+        ).collect()
