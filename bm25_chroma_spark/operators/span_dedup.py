@@ -168,7 +168,9 @@ def remove_repeated_spans(
     unique_ids: bool = True,
 ) -> DataFrame:
     """Cut every occurrence of every word span repeated across
-    >= ``min_docs`` documents -> (id_col, text_col, n_removed int).
+    >= ``min_docs`` documents -> (id_col, text_col, n_removed int,
+    plus every other input column passed through unchanged — so
+    upstream annotations like a blocklist flag survive the pass).
 
     ``n_removed`` counts removed tokens. Unaffected documents keep
     their ORIGINAL text byte-identical; affected documents are
@@ -229,9 +231,11 @@ def remove_repeated_spans(
     # original-case tokens, materialized BELOW the join so the final
     # projection's lambdas reference an attribute, not a re-evaluated
     # split(text) subtree (interpreted-HOF quadratic, CLAUDE.md)
+    extra = [c for c in docs.columns if c not in (id_col, text_col)]
     base = docs.select(
         F.col(id_col),
         F.col(text_col),
+        *extra,
         F.split(
             F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
         ).alias("_toks"),
@@ -261,4 +265,5 @@ def remove_repeated_spans(
         .otherwise(F.size(covered))
         .cast("int")
         .alias("n_removed"),
+        *extra,
     )

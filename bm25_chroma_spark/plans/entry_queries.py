@@ -612,6 +612,11 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             did % 11 == 0, F.lit("code { brace line")
         ).otherwise(F.lit("The final sentence, number four.")),
+        # a CLOSING brace alone must also kill the page (C4 discards
+        # on either bracket — the r7 ADVICE fix, pinned cross-engine)
+        F.when(
+            did % 13 == 0, F.lit("ends with closing } here.")
+        ).otherwise(F.lit("Sentence five is fine too.")),
     )
     docs = _load_docs(spark, sf_dir).select(
         "doc_id", injected.alias("text")
@@ -645,6 +650,88 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(extract_urls(injected)).cast("int").alias("n_urls"),
         F.array_join(url_domains(injected), ",").alias("domains"),
+    )
+
+
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML extraction over deterministically injected markup (the
+    fixture has none): each rule class is exercised — doctype,
+    title/h1/p/br block boundaries, style + script blocks WITH
+    contents (incl. a brace and a fake tag inside), a comment, and
+    the named/numeric entity set. md5 + length of the extracted text
+    make the hash check cover every replacement step."""
+    from bm25_chroma_spark.functions.web_clean import strip_html
+
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        did.cast("string"),
+        F.lit(
+            ' heading.</title><style type="text/css">body '
+            "{ color: red; }</style>"
+            "<script>var x = 1 && 2; // <b>not bold</b></script>"
+            "</head><body><!-- hidden comment --><h1>Title "
+        ),
+        did.cast("string"),
+        F.lit(
+            " stands here.</h1><p>First &amp; second &lt;tag&gt; "
+            "&quot;quoted&quot; words.</p><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</p><br>Line after break.&nbsp;Extra&#39;s done."
+            "</body></html>"
+        ),
+    )
+    out = strip_html(html)
+    return _load_docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(out).alias("strip_md5"),
+        F.length(out).cast("int").alias("strip_len"),
+    )
+
+
+# domain-blocklist fixture (q_blocked_domains + its oracle derive the
+# VALUES list from this constant; the mixed case pins the lowering)
+BLOCKLIST_FIXTURE = (
+    "example3.com",
+    "EXAMPLE17.com",
+    "sub.test-2.org",
+    "never-linked.example",
+)
+
+
+def q_blocked_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_blocked_domains over the url_domains injection against
+    a fixed blocklist: docs whose id%50 is 3 or 17, or id%7 == 2,
+    link to a blocked domain; everything else stays clean. The
+    never-linked entry pins that unmatched blocklist rows are
+    harmless."""
+    from bm25_chroma_spark.functions.web_clean import (
+        filter_blocked_domains,
+    )
+
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" see https://Example"),
+        F.pmod(did, F.lit(50)).cast("string"),
+        F.lit(".com/page?x=1 and http://sub.test-"),
+        F.pmod(did, F.lit(7)).cast("string"),
+        F.lit(".org/path."),
+    )
+    docs = _load_docs(spark, sf_dir).select(
+        "doc_id", injected.alias("text")
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in BLOCKLIST_FIXTURE], "domain string"
+    )
+    return filter_blocked_domains(docs, bl).select(
+        "doc_id",
+        "domain_blocked",
+        F.coalesce("blocked_domain", F.lit("")).alias(
+            "blocked_domain"
+        ),
     )
 
 
@@ -1369,7 +1456,9 @@ WITH inj AS (
          || CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
                  ELSE 'A third sentence to pass the bar.' END || chr(10)
          || CASE WHEN doc_id % 11 = 0 THEN 'code {{ brace line'
-                 ELSE 'The final sentence, number four.' END AS t
+                 ELSE 'The final sentence, number four.' END || chr(10)
+         || CASE WHEN doc_id % 13 = 0 THEN 'ends with closing }} here.'
+                 ELSE 'Sentence five is fine too.' END AS t
   FROM documents
 ),
 l AS (
@@ -1393,7 +1482,7 @@ SELECT doc_id,
        len(kept)::INT AS n_kept,
        (len(lines) - len(kept))::INT AS n_dropped,
        (NOT contains(lower(t), 'lorem ipsum')
-        AND NOT contains(t, '{{')
+        AND NOT regexp_matches(t, '[{{}}]')
         AND len(kept) >= {C4_MIN_KEPT}) AS c4_keep
 FROM k
 """
@@ -1420,6 +1509,86 @@ SELECT doc_id,
          ',') AS domains
 FROM u
 """
+
+
+def _strip_html_sql(expr: str) -> str:
+    """Nest the strip_html step table into a DuckDB regexp_replace
+    chain. The patterns are shared with the Spark operator (they ARE
+    the spec); the regex engines differ — RE2 here, Java there — so
+    the hash check still cross-validates every pattern against both
+    engines (the lang_id-oracle precedent)."""
+    from bm25_chroma_spark.functions.web_clean import HTML_STRIP_STEPS
+
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        rep_sql = (
+            "chr(10)" if rep == "\n"
+            else "'" + rep.replace("'", "''") + "'"
+        )
+        pat_sql = "'" + pat.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, {pat_sql}, {rep_sql}, 'g')"
+    return out
+
+
+_ORACLES["strip_html"] = (
+    """
+WITH inj AS (
+  SELECT doc_id,
+         '<!DOCTYPE html><html><head><title>Doc '
+         || CAST(doc_id AS VARCHAR)
+         || ' heading.</title><style type="text/css">body"""
+    + """ { color: red; }</style>'
+         || '<script>var x = 1 && 2; // <b>not bold</b></script>'
+         || '</head><body><!-- hidden comment --><h1>Title '
+         || CAST(doc_id AS VARCHAR)
+         || ' stands here.</h1><p>First &amp; second &lt;tag&gt; '
+         || '&quot;quoted&quot; words.</p><p>'
+         || text
+         || '</p><br>Line after break.&nbsp;Extra&#39;s done.'
+         || '</body></html>' AS t
+  FROM documents
+),
+s AS (SELECT doc_id, """
+    + _strip_html_sql("t")
+    + """ AS st FROM inj)
+SELECT doc_id, md5(st) AS strip_md5, length(st)::INT AS strip_len
+FROM s
+"""
+)
+
+_ORACLES["blocked_domains"] = (
+    r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' see https://Example'
+              || CAST(((doc_id % 50) + 50) % 50 AS VARCHAR)
+              || '.com/page?x=1 and http://sub.test-'
+              || CAST(((doc_id % 7) + 7) % 7 AS VARCHAR)
+              || '.org/path.' AS t
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(t, 'https?://[^\s<>"]+'),
+           x -> lower(regexp_extract(x, '^https?://([^/:?#]+)', 1)))
+           AS doms
+  FROM inj
+),
+bl(domain) AS (VALUES """
+    + ", ".join(f"('{d.lower()}')" for d in BLOCKLIST_FIXTURE)
+    + """),
+ex AS (SELECT doc_id, unnest(doms) AS d FROM u),
+hits AS (
+  SELECT ex.doc_id, min(ex.d) AS bd
+  FROM ex JOIN bl ON ex.d = bl.domain
+  GROUP BY ex.doc_id
+)
+SELECT u.doc_id,
+       (h.bd IS NOT NULL) AS domain_blocked,
+       coalesce(h.bd, '') AS blocked_domain
+FROM u LEFT JOIN hits h USING (doc_id)
+"""
+)
 
 
 # span_dedup: independent DuckDB implementation — shingles from list
@@ -2170,6 +2339,8 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "c4_clean": q_c4_clean,
         "url_domains": q_url_domains,
+        "strip_html": q_strip_html,
+        "blocked_domains": q_blocked_domains,
         # vector family
         "embed_corpus": q_embed_corpus,
         "knn_topk": q_knn_topk,

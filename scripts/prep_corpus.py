@@ -2,6 +2,14 @@
 """spark-submit entry point: prepare a raw documents table for LLM
 training in one job, composed from the pipeline operators:
 
+ -1. BLOCKLIST (optional, --blocklist PATH) — flag docs linking to a
+     blocklisted domain, read from the RAW text (markup hrefs vanish
+     once tags are stripped), dropped with a counted reason. Adds one
+     extra scan: the (id, domain) explode side of its broadcast join.
+  0a. STRIP-HTML (optional, --strip-html) — extract plain text from
+     scraped markup (tags/scripts/styles/comments out, entities
+     unescaped, block tags -> newlines) BEFORE everything else, so
+     span dedup and every annotate signal see prose, not markup.
   0. SPAN-DEDUP (optional, --dedup-spans N) — cut word spans of >= N
      tokens repeated across --span-min-docs documents (Lee et al.
      2021 ExactSubstr shape) BEFORE annotation, so quality signals
@@ -78,6 +86,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "C4-clean lines (0 = off). Flags docs only — "
                         "use functions.web_clean.c4_clean for "
                         "line-level rewriting")
+    p.add_argument("--strip-html", action="store_true",
+                   help="extract plain text from HTML markup before "
+                        "any other stage (functions.web_clean."
+                        "strip_html)")
+    p.add_argument("--blocklist",
+                   help="parquet of blocked domains (column "
+                        "'domain'); docs whose RAW text links to one "
+                        "are dropped with a counted reason")
     p.add_argument("--dedup-spans", type=int, default=0,
                    help="remove word spans of >= N tokens repeated "
                         "across documents (0 = off; Lee et al. 2021 "
@@ -129,6 +145,31 @@ def run(args) -> dict:
     docs = spark.read.parquet(args.input)
     t = F.col(args.text_col)
 
+    bl_cols = []
+    if args.blocklist:
+        from bm25_chroma_spark.functions.web_clean import (
+            filter_blocked_domains,
+        )
+
+        # on RAW text, BEFORE strip_html: href URLs live inside the
+        # tags strip_html removes
+        docs = filter_blocked_domains(
+            docs,
+            spark.read.parquet(args.blocklist),
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).drop("blocked_domain")
+        bl_cols = [F.col("domain_blocked")]
+
+    if args.strip_html:
+        from bm25_chroma_spark.functions.web_clean import strip_html
+
+        # a plain codegen expression chain (not an interpreted HOF),
+        # so the annotate pass's ~8 references are merged by
+        # subexpression elimination — no staging needed, unlike the
+        # span-dedup rebuild below
+        docs = docs.withColumn(args.text_col, strip_html(t))
+
     span_cols = []
     if args.dedup_spans:
         from bm25_chroma_spark.operators.span_dedup import (
@@ -170,6 +211,7 @@ def run(args) -> dict:
     annotated = docs.select(
         F.col(args.id_col),
         (t if args.no_redact else ta.redact_pii(t)).alias(args.text_col),
+        *bl_cols,
         *span_cols,
         *c4_cols,
         ta.lang_id(t).alias("lang_pred"),
@@ -201,6 +243,8 @@ def run(args) -> dict:
             & ~c4["has_brace"]
             & (c4["n_kept"] >= args.c4_min_lines)
         )
+    if args.blocklist:
+        rules["blocked_domain"] = ~F.col("domain_blocked")
     flagged = annotated
     keep = F.lit(True)
     for name, cond in rules.items():
@@ -238,6 +282,7 @@ def run(args) -> dict:
         *[f"_ok_{n}" for n in rules],
         *(["n_removed"] if args.dedup_spans else []),
         *(["_c4"] if args.c4_min_lines else []),
+        *(["domain_blocked"] if args.blocklist else []),
     )
 
     report = {}

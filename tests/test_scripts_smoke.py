@@ -331,3 +331,45 @@ def test_prep_corpus_c4_rule_uses_raw_text(spark, tmp_path, monkeypatch):
     assert "_c4" not in got.columns
     # and the output text IS redacted
     assert "<PHONE>" in got.collect()[0]["text"]
+
+
+def test_prep_corpus_strip_html_and_blocklist(spark, tmp_path, monkeypatch):
+    """--strip-html extracts prose before annotation; --blocklist
+    drops docs linking to a blocked domain with a counted reason,
+    read from the RAW text (the href URL only exists pre-strip)."""
+    import json
+    import sys
+
+    import scripts.prep_corpus as pc
+
+    rows = [
+        (1, '<html><body><p>Fine sentence one here today.</p>'
+            '<a href="https://Bad.Tracker.example/x">click</a>'
+            '</body></html>'),
+        (2, '<p>Fine sentence two here today.</p>'
+            '<a href="https://ok.example/y">link</a>'),
+        (3, "Plain text sentence three here today."),
+    ]
+    src = str(tmp_path / "htmldocs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        src
+    )
+    blp = str(tmp_path / "blocklist.parquet")
+    spark.createDataFrame(
+        [("bad.tracker.example",), ("other.blocked",)], "domain string"
+    ).write.parquet(blp)
+    out = str(tmp_path / "htmlprepped")
+    rpt = str(tmp_path / "htmlreport.json")
+    monkeypatch.setattr(sys, "argv", [
+        "prep_corpus.py", "--input", src, "--output", out,
+        "--report", rpt, "--strip-html", "--blocklist", blp,
+        "--salt", "s",
+    ])
+    pc.main()
+    report = json.loads(open(rpt).read())
+    assert report["dropped_blocked_domain"] == 1
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {2, 3}
+    assert "<p>" not in got[2] and "href" not in got[2]
+    assert "Fine sentence two here today." in got[2]
+    assert "domain_blocked" not in spark.read.parquet(out).columns

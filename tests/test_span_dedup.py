@@ -294,3 +294,21 @@ def test_repeated_span_keys_text_only_frame(spark):
         repeated_span_keys(
             docs, span_tokens=4, min_docs=2, unique_ids=False
         ).collect()
+
+
+def test_remove_spans_passes_extra_columns_through(spark):
+    """Non-(id, text) input columns survive the pass unchanged (an
+    upstream blocklist flag must ride the prep_corpus staged parquet
+    through --dedup-spans)."""
+    rows = [
+        (1, f"unique one u1a u1b {BOILER}", True),
+        (2, f"{BOILER} unique two u2a", False),
+        (3, "nothing shared here at all today", True),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, flag boolean"
+    )
+    out = remove_repeated_spans(docs, span_tokens=6, min_docs=2)
+    assert out.columns == ["doc_id", "text", "n_removed", "flag"]
+    got = {r["doc_id"]: r["flag"] for r in out.collect()}
+    assert got == {1: True, 2: False, 3: True}
