@@ -882,14 +882,15 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic medoids — the production quantizer the plain
     ann_ivf entry stubs with seeds).
 
-    NO oracle_sql on purpose: the trainer is an ITERATIVE Spark
-    algorithm whose centroid floats depend on distributed summation
-    order — single-pass SQL cannot reproduce them bit-for-bit, so the
-    driver records the weaker rows-only check here. Bit-exact parity
-    of the IVF structure itself (assignment, probing, rerank) is
-    covered by ann_ivf; the trainer's recall/balance dominance over
-    the seeds is pinned in test_ivf_trained_centroids_beat_seeds.
-    Deterministic: same input -> same centroids -> same rows."""
+    Oracle (r8, retiring the last rows-only entry): the 2 Lloyd
+    iterations are UNROLLED as chained CTEs in the DuckDB mirror —
+    assignment via the same left-fold argmin, update via per-dimension
+    SUM/COUNT per cell (see _ivf_oracle(trained_iters=2)). The r6
+    bit-reproducible partial-sum ordering makes the raw centroid
+    doubles measure bit-identical across engines at all three SFs;
+    the round(x, 6) below guards any future last-ulp reassociation.
+    The trainer's recall/balance dominance over the seeds stays
+    pinned in test_ivf_trained_centroids_beat_seeds."""
     from bm25_chroma_spark.operators.knn import ivf_train_centroids, knn_ivf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1776,7 +1777,13 @@ SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= {KNN_K}
 _ORACLES["knn_topk"] = _knn_oracle()
 
 
-def _ivf_oracle(round_centroids: bool = False) -> str:
+# the embeddings fixture is 64-dim at every SF; the trained-IVF
+# oracle's per-dimension sum aggregates are generated against this
+# (the Spark side stays dim-agnostic)
+EMB_DIM = 64
+
+
+def _ivf_oracle(round_centroids: bool = False, trained_iters: int = 0) -> str:
     """IVF mirrored in SQL: same medoid-seed centroids (the IVF_CELLS
     smallest-id vectors), same (dist asc, cid asc) cell assignment,
     same IVF_NPROBE query-side probing, same round-before-rank rerank.
@@ -1788,7 +1795,19 @@ def _ivf_oracle(round_centroids: bool = False) -> str:
     mirrors ann_ivf_trained0's trained-quantizer contract, where the
     Spark side publishes ``ivf_train_centroids(..., n_iters=0)``
     output through the same rounding (DuckDB round == Python round
-    verified over every fixture value at all three SFs)."""
+    verified over every fixture value at all three SFs).
+
+    With ``trained_iters`` > 0 the quantizer is the fully TRAINED one:
+    Lloyd's iterations unrolled as chained CTEs (assignment = the same
+    argmin; update = per-dimension SUM / COUNT per cell, empty cells
+    keeping their previous centroid via LEFT JOIN), final centroids
+    rounded to ROUND decimals exactly like q_ann_ivf_trained's
+    round(x, 6) guard. Float hazard note (VERDICT-r7 #5): the trainer
+    merges per-partition partial sums sorted by partition id, DuckDB
+    sums in scan order — measured BIT-IDENTICAL raw centroid doubles
+    (max |diff| 0.0) and zero post-round mismatches at all three SFs
+    (scripts/probe docs in BENCH/r8_notes.md); the 1e-6 rounding on
+    both sides absorbs any future last-ulp reassociation."""
     qsel = ", ".join(str(i) for i in KNN_QUERY_IDS)
     case = " ".join(
         f"WHEN {v} THEN {i}" for i, v in enumerate(KNN_QUERY_IDS)
@@ -1807,14 +1826,59 @@ def _ivf_oracle(round_centroids: bool = False) -> str:
             f"list_transform(embedding::DOUBLE[],"
             f" x -> round(x, {ROUND}) + 0.0)"
         )
-    return f"""
+
+    if trained_iters:
+        sums = ", ".join(
+            f"sum(vec[{i + 1}])" for i in range(EMB_DIM)
+        )
+        iters = []
+        prev = "c0"
+        for it in range(1, trained_iters + 1):
+            iters.append(f"""
+a{it} AS (
+  SELECT e.vec_id, e.vec, p.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {dist('e.vec', 'p.cvec')} ASC, p.cid ASC) AS rn
+  FROM e CROSS JOIN {prev} p
+),
+s{it} AS (
+  SELECT cid AS cell, count(*) AS n, list_value({sums}) AS sums
+  FROM (SELECT vec_id, vec, cid FROM a{it} WHERE rn = 1)
+  GROUP BY cell
+),
+c{it} AS (
+  SELECT p.cid,
+         CASE WHEN s{it}.n > 0
+              THEN list_transform(s{it}.sums,
+                                  x -> x / CAST(s{it}.n AS DOUBLE))
+              ELSE p.cvec END AS cvec
+  FROM {prev} p LEFT JOIN s{it} ON p.cid = s{it}.cell
+),""")
+            prev = f"c{it}"
+        head = f"""
+WITH c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+{"".join(iters)}
+c AS (
+  SELECT cid, list_transform(cvec, x -> round(x, {ROUND}) + 0.0)
+           AS cvec
+  FROM {prev}
+),
+ec AS ("""
+    else:
+        head = f"""
 WITH c AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          {cvec_expr} AS cvec
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-ec AS (
+ec AS ("""
+    return head + f"""
   SELECT vec_id, vec, cid,
          row_number() OVER (
            PARTITION BY vec_id
@@ -1857,6 +1921,7 @@ SELECT query_id, vec_id, dist, rank FROM ranked WHERE rank <= {KNN_K}
 
 _ORACLES["ann_ivf"] = _ivf_oracle()
 _ORACLES["ann_ivf_trained0"] = _ivf_oracle(round_centroids=True)
+_ORACLES["ann_ivf_trained"] = _ivf_oracle(trained_iters=2)
 # the materialized-store path computes probes through the same expr
 # arithmetic at this quantizer size (knn_ivf_partitioned probe_method
 # "auto" -> _expr_probes), so the identical IVF mirror applies
