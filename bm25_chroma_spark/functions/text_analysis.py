@@ -17,10 +17,13 @@ from pyspark.sql import functions as F
 # sets are pairwise DISJOINT by construction (pinned by
 # tests/test_dedup_text.py::test_stopword_sets_disjoint) so every hit
 # is discriminative: shared Romance/Germanic function words that
-# would vote for two languages (de/que/como/este/mais-vs-mais, …) are
-# deliberately ABSENT from all lists. This keeps precision high at
-# the cost of recall — see lang_id's docstring for the accuracy
-# contract.
+# would vote for two languages (de/que/como/este/mais, …) are
+# deliberately ABSENT from all lists — including words that are a
+# top-frequency function word in a covered language NOT listing them
+# (fr 'mais' was in the pt list until r8; it 'come' collides with the
+# common English verb; es 'dos' with the common Spanish number —
+# audited out, ADVICE r7). This keeps precision high at the cost of
+# recall — see lang_id's docstring for the accuracy contract.
 STOPWORDS = {
     "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for",
            "with", "was", "this", "from", "not", "are", "they",
@@ -34,11 +37,11 @@ STOPWORDS = {
     "es": ["el", "los", "las", "es", "una", "para", "con", "por",
            "del", "pero", "más", "muy", "cuando", "sus", "hay",
            "también", "donde", "tiene"],
-    "pt": ["não", "uma", "são", "também", "você", "isso", "mais",
-           "já", "em", "dos", "sua", "foi", "ele", "muito", "seu",
+    "pt": ["não", "uma", "são", "também", "você", "isso", "pelo",
+           "já", "em", "estão", "sua", "foi", "ele", "muito", "seu",
            "até"],
     "it": ["il", "di", "che", "non", "per", "sono", "della", "anche",
-           "gli", "più", "nel", "alla", "questo", "come", "molto",
+           "gli", "più", "nel", "alla", "questo", "nella", "molto",
            "essere"],
     "nl": ["het", "een", "niet", "zijn", "voor", "maar", "ook",
            "naar", "wordt", "heeft", "deze", "geen", "bij", "uit",

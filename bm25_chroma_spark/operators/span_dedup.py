@@ -112,6 +112,58 @@ def _validate_span_params(span_tokens: int, min_docs: int) -> None:
         raise ValueError("min_docs must be >= 2 (cross-document spans)")
 
 
+# Version of the hashed-key function (_gram_keys: xxhash64 over the
+# n-field token struct). Bump whenever the key arithmetic changes so
+# persisted keys frames from older builds are REJECTED instead of
+# silently matching nothing (ADVICE r7).
+SPAN_KEY_VERSION = 1
+
+
+def _span_stamp_cols(span_tokens: int):
+    return [
+        F.lit(span_tokens).alias("_span_tokens"),
+        F.lit(SPAN_KEY_VERSION).alias("_span_key_ver"),
+    ]
+
+
+def _check_keys_stamp(
+    keys: DataFrame, span_tokens: int, hash_grams: bool
+) -> None:
+    """Reject a precomputed keys frame built with different
+    parameters or an older hashed-key function. A mismatch used to be
+    undetectable (the join keys simply never matched and nothing was
+    removed); the stamp columns repeated_span_keys attaches make it a
+    loud error at the cost of one tiny first() on the (filtered,
+    small) keys frame."""
+    missing = [
+        c
+        for c in ("_span_tokens", "_span_key_ver")
+        if c not in keys.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"precomputed keys frame lacks the stamp column(s) "
+            f"{missing}: rebuild it with repeated_span_keys (which "
+            f"stamps span_tokens and the key-function version), or "
+            f"attach literal columns matching the build parameters"
+        )
+    meta = keys.select("_span_tokens", "_span_key_ver").first()
+    if meta is None:
+        return  # empty keys frame: nothing will be removed; vacuous
+    if int(meta["_span_tokens"]) != span_tokens:
+        raise ValueError(
+            f"keys frame was built with span_tokens="
+            f"{int(meta['_span_tokens'])}, caller asked for "
+            f"{span_tokens} — shingle lengths must match"
+        )
+    if hash_grams and int(meta["_span_key_ver"]) != SPAN_KEY_VERSION:
+        raise ValueError(
+            f"keys frame carries hashed-key version "
+            f"{int(meta['_span_key_ver'])}; this build uses "
+            f"{SPAN_KEY_VERSION} — regenerate the keys"
+        )
+
+
 def repeated_span_keys(
     docs: DataFrame,
     span_tokens: int = 50,
@@ -123,7 +175,9 @@ def repeated_span_keys(
 ) -> DataFrame:
     """Shingle keys of length ``span_tokens`` that occur in at least
     ``min_docs`` distinct documents -> (gram_key long | gram string,
-    n_docs long).
+    n_docs long, _span_tokens int, _span_key_ver int — the last two
+    are literal stamp columns remove_repeated_spans validates when
+    the frame is persisted/reused).
 
     ``unique_ids=True`` (default) assumes one row per document id —
     the normal post-``dedup_exact`` pipeline state — so per-doc
@@ -154,6 +208,9 @@ def repeated_span_keys(
         per_doc.groupBy(key)
         .agg(agg.alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+        # stamp the build parameters so a later remove_repeated_spans
+        # can validate a persisted/shared frame (ADVICE r7)
+        .select("*", *_span_stamp_cols(span_tokens))
     )
 
 
@@ -180,14 +237,12 @@ def remove_repeated_spans(
     ``keys`` lets a precomputed ``repeated_span_keys`` result (e.g.
     one shared across corpus shards, or persisted between runs) be
     reused. It MUST have been built with the same ``span_tokens``,
-    ``hash_grams``, AND engine version — the hashed key function is
-    an internal detail (currently xxhash64 over the token struct)
-    that may change between releases, and a mismatch of any of these
-    is undetectable here (the join keys simply never match and
-    nothing is removed). Callers persisting keys across runs should
-    store span_tokens + the producing version alongside them and
-    regenerate on upgrade. The key column name is validated; see
-    ``unique_ids`` on repeated_span_keys for duplicate-row inputs.
+    ``hash_grams``, AND key-function version — all VALIDATED here
+    against the stamp columns repeated_span_keys attaches
+    (_span_tokens/_span_key_ver; a mismatch used to silently remove
+    nothing, ADVICE r7), at the cost of one tiny first() on the keys
+    frame. See ``unique_ids`` on repeated_span_keys for
+    duplicate-row inputs.
     """
     _validate_span_params(span_tokens, min_docs)
     key = "gram_key" if hash_grams else "gram"
@@ -201,11 +256,14 @@ def remove_repeated_spans(
             hash_grams=hash_grams,
             unique_ids=unique_ids,
         )
-    elif key not in keys.columns:
-        raise ValueError(
-            f"precomputed keys frame lacks the '{key}' column expected "
-            f"for hash_grams={hash_grams}; got {keys.columns}"
-        )
+    else:
+        if key not in keys.columns:
+            raise ValueError(
+                f"precomputed keys frame lacks the '{key}' column "
+                f"expected for hash_grams={hash_grams}; got "
+                f"{keys.columns}"
+            )
+        _check_keys_stamp(keys, span_tokens, hash_grams)
 
     if hash_grams:
         pos = docs.select(

@@ -1193,9 +1193,14 @@ class SparkHybridRetriever:
         return result
 
     # leg results up to this many rows broadcast into the uid-map
-    # join (each row is ~50 bytes: two longs, a double, an int);
-    # larger offline batches keep the shuffle join
-    _QDF_BROADCAST_ROWS: int = 4_000_000
+    # join (each row is ~50 bytes: two longs, a double, an int —
+    # 500k rows ≈ 25 MB serialized, comfortably under the default
+    # spark.sql.autoBroadcastJoinThreshold ballpark and a small
+    # fraction of spark.driver.maxResultSize's 1g default; the r7
+    # 4M bound could materialize hundreds of MB on the driver and
+    # fail batches the shuffle join would have completed — ADVICE
+    # r7); larger offline batches keep the shuffle join
+    _QDF_BROADCAST_ROWS: int = 500_000
 
     def query_df(
         self,
@@ -1383,10 +1388,40 @@ class SparkHybridRetriever:
         pairs = list(self._uid_cache.items())[-max_uids:]
         tmp = self.state / "warm_uids.json.tmp"
         tmp.write_text(
-            _json.dumps({"entries": [[int(k), v] for k, v in pairs]})
+            _json.dumps(
+                {
+                    "entries": [[int(k), v] for k, v in pairs],
+                    # (doc_id -> uid) pairs are immutable ONLY under
+                    # the doc_id_expr that produced them; stamp its
+                    # behavioral fingerprint so a handle reloaded
+                    # with a different expression skips them instead
+                    # of serving wrong uids (ADVICE r7)
+                    "id_expr_fp": self._id_expr_fingerprint(),
+                }
+            )
         )
         tmp.replace(self.state / "warm_uids.json")
         return n
+
+    # uid strings representative of both real id-expression families
+    # (hash exprs act on any string; cast exprs only on numeric) —
+    # mapping these through doc_id_expr yields a behavioral
+    # fingerprint that distinguishes expressions without having to
+    # serialize the callable itself
+    _ID_FP_PROBES = ("7", "12345678901", "f3a9c1d2b4e6")
+
+    def _id_expr_fingerprint(self) -> list:
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    self._id_expr(F.lit(p)).cast("string").alias(f"p{i}")
+                    for i, p in enumerate(self._ID_FP_PROBES)
+                ]
+            )
+            .collect()[0]
+        )
+        return [row[f"p{i}"] for i in range(len(self._ID_FP_PROBES))]
 
     def prewarm(self, max_terms: int = 4096) -> int:
         """Opt-in cold-start warm-up: refill the postings LRU + df
@@ -1404,7 +1439,15 @@ class SparkHybridRetriever:
         f = self.state / "warm_uids.json"
         if f.exists():
             try:
-                entries = _json.loads(f.read_text()).get("entries", [])
+                payload = _json.loads(f.read_text())
+                entries = payload.get("entries", [])
+                # pairs saved under a DIFFERENT doc_id_expr (or by a
+                # pre-r8 build that didn't stamp one) would silently
+                # map ids to the wrong uids — skip them; postings
+                # prewarm above is id-expr-independent and still
+                # counts (ADVICE r7)
+                if payload.get("id_expr_fp") != self._id_expr_fingerprint():
+                    entries = []
             except (ValueError, OSError):
                 entries = []
             if entries:

@@ -208,7 +208,9 @@ def test_precomputed_keys_reused(spark):
     ]
     docs = _docs_df(spark, rows)
     keys = repeated_span_keys(docs, span_tokens=4, min_docs=2)
-    assert keys.columns == ["gram_key", "n_docs"]
+    assert keys.columns == [
+        "gram_key", "n_docs", "_span_tokens", "_span_key_ver"
+    ]
     via_keys = remove_repeated_spans(
         docs, span_tokens=4, min_docs=2, keys=keys
     ).collect()
@@ -249,6 +251,45 @@ def test_keys_column_validation(spark):
     ok = spark.createDataFrame([(1,)], "gram_key long")
     with pytest.raises(ValueError, match="span_tokens"):
         remove_repeated_spans(docs, span_tokens=1, keys=ok)
+
+
+def test_keys_stamp_validation(spark):
+    """A persisted keys frame built under different parameters or an
+    older hashed-key function must be REJECTED loudly, not silently
+    remove nothing (ADVICE r7): repeated_span_keys stamps
+    span_tokens + key version; remove_repeated_spans validates."""
+    rows = [
+        (0, "shared span alpha beta gamma delta tail one"),
+        (1, "shared span alpha beta gamma delta tail two"),
+    ]
+    docs = _docs_df(spark, rows)
+    keys4 = repeated_span_keys(docs, span_tokens=4, min_docs=2)
+    # wrong span_tokens at use time
+    with pytest.raises(ValueError, match="span_tokens=4"):
+        remove_repeated_spans(docs, span_tokens=5, keys=keys4)
+    # unstamped frame (e.g. hand-built, or a pre-r8 persisted one)
+    with pytest.raises(ValueError, match="stamp column"):
+        remove_repeated_spans(
+            docs, span_tokens=4,
+            keys=keys4.select("gram_key", "n_docs"),
+        )
+    # stale key-function version
+    stale = keys4.withColumn("_span_key_ver", F.lit(0))
+    with pytest.raises(ValueError, match="version"):
+        remove_repeated_spans(docs, span_tokens=4, keys=stale)
+    # round-trip through parquet (the real persisted-reuse shape)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        keys4.write.mode("overwrite").parquet(f"{d}/keys")
+        reloaded = spark.read.parquet(f"{d}/keys")
+        via = remove_repeated_spans(
+            docs, span_tokens=4, min_docs=2, keys=reloaded
+        ).collect()
+        direct = remove_repeated_spans(
+            docs, span_tokens=4, min_docs=2
+        ).collect()
+        assert sorted(map(tuple, via)) == sorted(map(tuple, direct))
 
 
 def test_unique_ids_false_counts_distinct_docs(spark):

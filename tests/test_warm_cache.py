@@ -326,3 +326,31 @@ def test_prewarm_without_hot_set_is_noop(spark, tmp_path):
     r = _mk(spark, tmp_path, n=20, name="prenone")
     r2 = SparkHybridRetriever(spark, str(tmp_path / "prenone"))
     assert r2.prewarm() == 0
+
+
+def test_prewarm_uid_pairs_gated_by_id_expr_fingerprint(spark, tmp_path):
+    """(doc_id -> uid) pairs are immutable only under the id
+    expression that minted them: a handle reloaded with a DIFFERENT
+    doc_id_expr must skip the persisted pairs (they'd map ids to the
+    wrong uids — ADVICE r7), while the id-expr-independent postings
+    prewarm still counts. Same expression keeps serving them."""
+    from pyspark.sql import functions as F
+
+    r = _mk(spark, tmp_path, n=30, name="fpgate")
+    q = "alpha spark document"
+    assert r.search_bm25(q, top_k=5)
+    assert r.save_hot_set() > 0
+
+    same = SparkHybridRetriever(spark, str(tmp_path / "fpgate"))
+    assert same.prewarm() > 0
+    assert len(same._uid_cache) > 0
+
+    other = SparkHybridRetriever(
+        spark,
+        str(tmp_path / "fpgate"),
+        doc_id_expr=lambda c: F.abs(F.xxhash64(c)),
+    )
+    assert other.prewarm() > 0  # postings hot set is still valid
+    assert len(other._uid_cache) == 0, (
+        "uid pairs saved under another doc_id_expr must not load"
+    )
