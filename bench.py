@@ -313,11 +313,14 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
     # the same 100k corpus, with a 12-token boilerplate block planted
     # in 25% of docs so the position join-back and rebuild stages do
     # real work (the raw synth corpus shares almost no 10-grams).
-    # ~40s/pass (two tokenize+shingle scans + the discovery shuffle
-    # are inherent to exact substring dedup), so min of 2 trials.
+    # r8: measures the ONE-SCAN staged shape (positions_path) that
+    # prep_corpus uses — measured 11.1 s vs 12.9 s for the two-scan
+    # default on a healthy host (BENCH/r8_notes.md §3). Min of 2.
     from bm25_chroma_spark.operators.span_dedup import (
         remove_repeated_spans,
     )
+
+    span_pos = tempfile.mkdtemp(prefix=f"bench_spanpos_{cpus}_")
 
     def span_probe():
         docs = spark.read.parquet(sim_src).select(
@@ -333,7 +336,10 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
                 ),
             ).otherwise(F.col("text")).alias("text"),
         )
-        out = remove_repeated_spans(docs, span_tokens=10, min_docs=2)
+        out = remove_repeated_spans(
+            docs, span_tokens=10, min_docs=2,
+            positions_path=span_pos + "/pos",
+        )
         return out.agg(
             F.sum("n_removed").alias("nr"), F.count("*").alias("n")
         )
@@ -345,6 +351,7 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         span_trials.append(time.time() - t0)
     timings["span_dedup_100k"] = min(span_trials)
     shutil.rmtree(sim_src, ignore_errors=True)
+    shutil.rmtree(span_pos, ignore_errors=True)
 
     # 7. WAND WIN regime: 1M tiny docs where block skipping ENGAGES —
     # 3 hot terms (df=N) + per-query anchors (df=500 >= 3*k*S, so

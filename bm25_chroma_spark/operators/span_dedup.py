@@ -223,6 +223,7 @@ def remove_repeated_spans(
     hash_grams: bool = True,
     keys: Optional[DataFrame] = None,
     unique_ids: bool = True,
+    positions_path: Optional[str] = None,
 ) -> DataFrame:
     """Cut every occurrence of every word span repeated across
     >= ``min_docs`` documents -> (id_col, text_col, n_removed int,
@@ -243,27 +244,23 @@ def remove_repeated_spans(
     nothing, ADVICE r7), at the cost of one tiny first() on the keys
     frame. See ``unique_ids`` on repeated_span_keys for
     duplicate-row inputs.
+
+    ``positions_path`` opts into the ONE-SCAN shape (VERDICT r7 #4):
+    the posexploded (id, pos, key) frame is materialized to this
+    caller-owned parquet path once, and BOTH discovery (when ``keys``
+    is None: dropDuplicates(id, key) -> count, which is distinct-id
+    counting regardless of ``unique_ids``) and the position join read
+    the staged copy — one tokenize+shingle pass instead of two.
+    Measured at the bench shape (100k docs, 32 cores, healthy host):
+    11.1 s vs 12.9 s for the default, checksum-identical
+    (BENCH/r8_notes.md §3). The default stays two-scan because it
+    needs NO scratch storage: the staged frame is ~tokens x 20 bytes
+    — larger than the corpus — so at 100 TB the caller must point
+    this at real shuffle-grade storage and delete it afterwards
+    (prep_corpus --dedup-spans does both).
     """
     _validate_span_params(span_tokens, min_docs)
     key = "gram_key" if hash_grams else "gram"
-    if keys is None:
-        keys = repeated_span_keys(
-            docs,
-            span_tokens=span_tokens,
-            min_docs=min_docs,
-            text_col=text_col,
-            id_col=id_col,
-            hash_grams=hash_grams,
-            unique_ids=unique_ids,
-        )
-    else:
-        if key not in keys.columns:
-            raise ValueError(
-                f"precomputed keys frame lacks the '{key}' column "
-                f"expected for hash_grams={hash_grams}; got "
-                f"{keys.columns}"
-            )
-        _check_keys_stamp(keys, span_tokens, hash_grams)
 
     if hash_grams:
         pos = docs.select(
@@ -279,6 +276,37 @@ def remove_repeated_spans(
                 word_ngrams(F.col(text_col), span_tokens)
             ).alias("pos", "gram"),
         )
+    if positions_path is not None:
+        pos.write.mode("overwrite").parquet(positions_path)
+        pos = docs.sparkSession.read.parquet(positions_path)
+
+    if keys is None:
+        if positions_path is not None:
+            keys = (
+                pos.select(id_col, key)
+                .dropDuplicates()
+                .groupBy(key)
+                .agg(F.count("*").alias("n_docs"))
+                .filter(F.col("n_docs") >= min_docs)
+            )
+        else:
+            keys = repeated_span_keys(
+                docs,
+                span_tokens=span_tokens,
+                min_docs=min_docs,
+                text_col=text_col,
+                id_col=id_col,
+                hash_grams=hash_grams,
+                unique_ids=unique_ids,
+            )
+    else:
+        if key not in keys.columns:
+            raise ValueError(
+                f"precomputed keys frame lacks the '{key}' column "
+                f"expected for hash_grams={hash_grams}; got "
+                f"{keys.columns}"
+            )
+        _check_keys_stamp(keys, span_tokens, hash_grams)
     # non-repeated positions die here; only boilerplate rows shuffle
     hits = (
         pos.join(keys.select(key), key)

