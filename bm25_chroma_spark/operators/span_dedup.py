@@ -241,8 +241,12 @@ def remove_repeated_spans(
     ``hash_grams``, AND key-function version — all VALIDATED here
     against the stamp columns repeated_span_keys attaches
     (_span_tokens/_span_key_ver; a mismatch used to silently remove
-    nothing, ADVICE r7), at the cost of one tiny first() on the keys
-    frame. See ``unique_ids`` on repeated_span_keys for
+    nothing, ADVICE r7), at the cost of one first() on the keys
+    frame — NOTE: on a live (unpersisted) derived frame that first()
+    re-runs the frame's whole discovery pipeline for one row, so
+    frames shared across calls should be persisted or written/reloaded
+    first (the parquet round-trip the persisted-reuse case does
+    anyway). See ``unique_ids`` on repeated_span_keys for
     duplicate-row inputs.
 
     ``positions_path`` opts into the ONE-SCAN shape (VERDICT r7 #4):
@@ -251,6 +255,8 @@ def remove_repeated_spans(
     is None: dropDuplicates(id, key) -> count, which is distinct-id
     counting regardless of ``unique_ids``) and the position join read
     the staged copy — one tokenize+shingle pass instead of two.
+    Ignored when ``keys`` is provided (positions are then consumed
+    only once and staging would be pure overhead).
     Measured at the bench shape (100k docs, 32 cores, healthy host):
     11.1 s vs 12.9 s for the default, checksum-identical
     (BENCH/r8_notes.md §3). The default stays two-scan because it
@@ -276,7 +282,11 @@ def remove_repeated_spans(
                 word_ngrams(F.col(text_col), span_tokens)
             ).alias("pos", "gram"),
         )
-    if positions_path is not None:
+    # staging only pays off when pos is consumed TWICE (discovery +
+    # position join); with a precomputed keys frame discovery is
+    # skipped and pos is consumed once — staging would be a pure
+    # corpus-plus-sized write for zero scan savings (review r8)
+    if positions_path is not None and keys is None:
         pos.write.mode("overwrite").parquet(positions_path)
         pos = docs.sparkSession.read.parquet(positions_path)
 

@@ -14,10 +14,20 @@ need corpus-global state and stay batch-only; run them as a
 downstream compaction pass over the streamed output if needed.
 
 100 TB shape: each micro-batch is one narrow expression pass + a
-hash_split projection + a partitioned append — no shuffle, no state
+hash_split projection + a partitioned write — no shuffle, no state
 store; the only non-map work is the optional blocklist broadcast
-join. Exactly-once comes from the standard file-sink + checkpoint
-contract.
+join.
+
+Effective exactly-once: foreachBatch is an AT-LEAST-ONCE contract
+(a crash between the sink commit and the checkpoint advance replays
+the batch), so the handler is made IDEMPOTENT instead of relying on
+the native file-sink log: every batch overwrites its own
+``batch_id=<id>`` partition (dynamic partition overwrite — a replay
+rewrites the same directory rather than appending duplicates), and
+the report tracks per-batch metric rows keyed by batch_id, so a
+replayed batch overwrites its own counts rather than double-adding.
+Readers take ``spark.read.parquet(output_path)`` as usual; batch_id
+is just one more partition column to prune or ignore.
 """
 
 from __future__ import annotations
@@ -49,8 +59,11 @@ def stream_prep_corpus(
 ) -> Tuple[StreamingQuery, Dict[str, int]]:
     """Start a foreachBatch prep pipeline over a streaming documents
     frame -> (query, report). ``report`` is a plain dict the batch
-    handler accumulates into (input_docs, kept, dropped_<rule>,
-    pii_*); read it after ``query.awaitTermination()`` — with
+    handler maintains: totals (input_docs, kept, dropped_<rule>,
+    pii_*) recomputed from a per-batch ``_batches`` map keyed by
+    batch_id, so a foreachBatch REPLAY overwrites its own batch's
+    counts instead of double-adding (see the module idempotency
+    note); read it after ``query.awaitTermination()`` — with
     ``available_now`` (default) the query drains what exists and
     stops, the right shape for catch-up/backfill runs; pass False for
     a continuous feed.
@@ -97,12 +110,22 @@ def stream_prep_corpus(
             weights,
             id_col=opts.id_col,
             salt=salt,
-        )
-        final.write.mode("append").partitionBy("split").parquet(
-            output_path
-        )
-        for k, v in obs.get.items():
-            report[k] = report.get(k, 0) + int(v or 0)
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        # dynamic partition overwrite: a replayed batch rewrites its
+        # own batch_id=<id> directories instead of appending dupes
+        final.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id", "split").parquet(output_path)
+        batches = report.setdefault("_batches", {})
+        batches[int(batch_id)] = {
+            k: int(v or 0) for k, v in obs.get.items()
+        }
+        totals: Dict[str, int] = {}
+        for m in batches.values():
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0) + v
+        for k, v in totals.items():
+            report[k] = v
 
     writer = (
         stream_docs.writeStream.foreachBatch(_handle)

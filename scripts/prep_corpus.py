@@ -177,7 +177,6 @@ def run(args) -> dict:
         # span-dedup rebuild below
         docs = docs.withColumn(args.text_col, strip_html(t))
 
-    span_cols = []
     if args.dedup_spans:
         from bm25_chroma_spark.operators.span_dedup import (
             remove_repeated_spans,

@@ -537,3 +537,58 @@ def test_stream_prep_matches_batch(spark, tmp_path):
     assert report["dropped_blocked_domain"] == 1
     assert report["dropped_c4"] == 3  # lorem + thin + closing-brace
     assert report["kept"] == len(want)
+
+
+def test_stream_prep_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a full replay (same
+    feed + output, FRESH checkpoint so every batch re-fires with the
+    same batch ids) — the dynamic per-batch partition overwrite must
+    leave the output row-identical and the per-batch report
+    accounting must not double-add (review r8)."""
+    import shutil
+
+    from bm25_chroma_spark.plans.prep import PrepOptions
+    from bm25_chroma_spark.streaming.prep import stream_prep_corpus
+
+    good = "\n".join(
+        f"A perfectly fine sentence number {i} here." for i in range(4)
+    )
+    src = tmp_path / "replay_feed"
+    src.mkdir()
+    for i, rows in enumerate(
+        [[(1, good), (2, "thin.")], [(3, good + " extra tail.")]]
+    ):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(tmp_path / f"rb{i}"))
+        for f in (tmp_path / f"rb{i}").glob("*.parquet"):
+            shutil.copy(f, src / f"batch{i}.parquet")
+
+    out = str(tmp_path / "replay_out")
+    opts = PrepOptions(c4_min_lines=3)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q, report = stream_prep_corpus(
+            stream, out, checkpoint=str(tmp_path / ckpt),
+            opts=opts, weights={"train": 1.0}, salt="s",
+        )
+        q.awaitTermination(180)
+        return report
+
+    r1 = run("ck1")
+    rows1 = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    r2 = run("ck2")  # fresh checkpoint -> every batch replays
+    rows2 = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    assert rows2 == rows1 and len(rows1) > 0
+    for k in ("input_docs", "kept", "dropped_c4"):
+        assert r2[k] == r1[k], k
+    assert r1["input_docs"] == 3 and r1["dropped_c4"] == 1
