@@ -79,6 +79,119 @@ def hash_split(
     return out
 
 
+def fraction_bound(fraction: float) -> str:
+    """32-hex-char upper bound such that ``digest < bound`` keeps a
+    ~``fraction`` share of uniformly-hashed rows. Shared by the Spark
+    operators and the DuckDB oracle generators so both engines keep
+    the exact same rows."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        return "g" * 32  # sorts above every hex digest -> keep all
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "032x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 1.0,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-group sampling — the source-mixing stage of
+    a training-data pipeline (down-weight CommonCrawl, keep all of
+    wiki/books, ...). ``rates`` maps group value -> keep fraction;
+    groups absent from ``rates`` (including NULL) use
+    ``default_rate``.
+
+    Pure map-side JVM expression (a when-chain over the literal rate
+    table + one md5 compare): zero shuffle, scan-speed at 100 TB, and
+    the kept set is independent of cluster size, partitioning, and
+    run order. Keyed on ``md5(id || salt)`` like :func:`hash_sample`,
+    so samples NEST: raising a group's rate only ADDS rows — rerunning
+    a mix with tweaked weights never churns the previously kept rows.
+    For a high-cardinality rate table (e.g. per-domain weights), pass
+    the rates as a DataFrame to :func:`stratified_sample_df` instead
+    of inflating a literal when-chain.
+
+    With ``keep_col`` the decision is attached as a boolean column
+    (flag-not-drop, house style — lets a report count per-group
+    drops); otherwise dropped rows are filtered out.
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for group {g!r} must be in [0, 1]")
+    h = _digest(F.col(id_col), salt)
+    keep = h < F.lit(fraction_bound(default_rate))
+    grp = F.col(group_col)
+    for g, r in rates.items():
+        keep = F.when(grp == F.lit(g), h < F.lit(fraction_bound(r))).otherwise(keep)
+    if keep_col:
+        return df.withColumn(keep_col, keep)
+    return df.filter(keep)
+
+
+def stratified_sample_df(
+    df: DataFrame,
+    rates_df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 1.0,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """:func:`stratified_sample` with the rate table as a DataFrame
+    ``(group_col, rate)`` — for per-domain / per-source weight tables
+    too large for a literal when-chain (100k+ domains would inflate
+    the plan; a join keeps it flat, same reason bulk DML joins a
+    broadcast ids DataFrame instead of isin). The rate table is
+    broadcast (it is a weights config — orders of magnitude smaller
+    than the corpus) and left-joined on ``group_col``: the corpus
+    side never shuffles and unmatched groups fall back to
+    ``default_rate``.
+
+    Cross-engine/precision note: the digest compare needs a
+    32-hex-char bound computed from the rate with the exact integer
+    truncation of :func:`fraction_bound` — float math in a row-side
+    JVM expression could disagree at ulp with the dict variant — so
+    the bound is materialized INTO the broadcast table by an
+    Arrow-vectorized pandas UDF running over the (small) rate table
+    only; the corpus-side expression is a pure string compare, and a
+    given (group, rate) keeps the identical row set under either
+    variant."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    def _bound_fn(rate):
+        return rate.astype(float).map(fraction_bound)
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, and pandas is a
+    # local import here, so pandas_udf's hint resolution would fail
+    _bound_fn.__annotations__ = {"rate": pd.Series, "return": pd.Series}
+    _bound = pandas_udf(T.StringType())(_bound_fn)
+
+    bounds = F.broadcast(
+        rates_df.select(
+            F.col(group_col).alias("__ss_grp"),
+            _bound(F.col("rate").cast("double")).alias("__ss_bound"),
+        )
+    )
+    h = _digest(F.col(id_col), salt)
+    joined = df.join(bounds, df[group_col] == bounds["__ss_grp"], "left")
+    keep = h < F.coalesce(
+        F.col("__ss_bound"), F.lit(fraction_bound(default_rate))
+    )
+    if keep_col:
+        out = joined.withColumn(keep_col, keep)
+    else:
+        out = joined.filter(keep)
+    return out.drop("__ss_grp", "__ss_bound")
+
+
 def hash_sample(
     df: DataFrame,
     fraction: float,

@@ -753,6 +753,26 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES = {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.75}
+MIX_SALT = "mix8"
+MIX_DEFAULT = 0.1  # zh and anything unlisted
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified source mixing: per-`lang` deterministic keep rates
+    (flag-not-drop so the oracle checks BOTH decisions)."""
+    from bm25_chroma_spark.functions.splits import stratified_sample
+
+    return stratified_sample(
+        _load_docs(spark, sf_dir).select("doc_id", "lang"),
+        MIX_RATES,
+        "lang",
+        salt=MIX_SALT,
+        default_rate=MIX_DEFAULT,
+        keep_col="keep",
+    )
+
+
 def _knn_query_vecs(spark: SparkSession, sf_dir: str):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rows = {
@@ -1743,6 +1763,28 @@ FROM d
 _ORACLES["hash_split"] = _hash_split_oracle()
 
 
+def _mix_sample_oracle() -> str:
+    from bm25_chroma_spark.functions.splits import fraction_bound
+
+    whens = " ".join(
+        f"WHEN lang = '{g}' THEN h < '{fraction_bound(r)}'"
+        for g, r in MIX_RATES.items()
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}') AS h
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE {whens} ELSE h < '{fraction_bound(MIX_DEFAULT)}' END AS keep
+FROM d
+"""
+
+
+_ORACLES["mix_sample"] = _mix_sample_oracle()
+
+
 def _knn_oracle() -> str:
     qsel = ", ".join(str(i) for i in KNN_QUERY_IDS)
     case = " ".join(
@@ -2398,6 +2440,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_signals": q_rep_signals,
         "decontam": q_decontam,
         "hash_split": q_hash_split,
+        "mix_sample": q_mix_sample,
         "doc_chunks": q_doc_chunks,
         "span_dedup": q_span_dedup,
         "span_dedup_fast": q_span_dedup_fast,

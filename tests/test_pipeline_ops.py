@@ -15,6 +15,8 @@ from bm25_chroma_spark.functions.splits import (
     hash_sample,
     hash_split,
     split_thresholds,
+    stratified_sample,
+    stratified_sample_df,
 )
 from bm25_chroma_spark.functions.text_analysis import (
     chunk_documents,
@@ -269,6 +271,101 @@ def test_hash_sample_nested_subsets(spark):
     assert hash_sample(df, 1.0).count() == 2000
     with pytest.raises(ValueError):
         hash_sample(df, 1.5)
+
+
+# ----------------------------------------------------------------- #
+# stratified source mixing                                           #
+# ----------------------------------------------------------------- #
+
+
+def _mix_df(spark, n=1200):
+    groups = ["cc", "wiki", "books", "forums"]
+    rows = [(i, groups[i % 4]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, src string")
+
+
+_MIX_RATES = {"cc": 0.25, "wiki": 1.0, "books": 0.6}
+
+
+def _py_keep(doc_id: int, grp: str, rates: dict, default: float,
+             salt: str) -> bool:
+    from bm25_chroma_spark.functions.splits import fraction_bound
+
+    h = hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()
+    return h < fraction_bound(rates.get(grp, default))
+
+
+def test_stratified_sample_matches_python_md5(spark):
+    df = _mix_df(spark, 600)
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, _MIX_RATES, "src", salt="m1", default_rate=0.5
+        ).collect()
+    }
+    for i in range(600):
+        grp = ["cc", "wiki", "books", "forums"][i % 4]
+        assert (i in kept) == _py_keep(i, grp, _MIX_RATES, 0.5, "m1"), i
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    df = _mix_df(spark)
+    out = stratified_sample(df, _MIX_RATES, "src", salt="m2",
+                            default_rate=0.0)
+    counts = {r["src"]: r["count"]
+              for r in out.groupBy("src").count().collect()}
+    assert counts["wiki"] == 300          # rate 1.0 keeps everything
+    assert "forums" not in counts         # default 0.0 drops the rest
+    assert counts["cc"] == pytest.approx(75, rel=0.35)
+    assert counts["books"] == pytest.approx(180, rel=0.25)
+    # raising a rate only ADDS rows (same salt -> nested samples)
+    low = {r["doc_id"] for r in stratified_sample(
+        df, {"cc": 0.2}, "src", salt="m2", default_rate=0.0).collect()}
+    high = {r["doc_id"] for r in stratified_sample(
+        df, {"cc": 0.7}, "src", salt="m2", default_rate=0.0).collect()}
+    assert low <= high
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"cc": 1.5}, "src")
+
+
+def test_stratified_sample_flag_mode_and_plan(spark):
+    df = _mix_df(spark, 400)
+    flagged = stratified_sample(
+        df, _MIX_RATES, "src", salt="m3", keep_col="keep"
+    )
+    assert flagged.count() == 400  # flag-not-drop keeps every row
+    kept_flag = {r["doc_id"] for r in flagged.filter("keep").collect()}
+    kept_filter = {
+        r["doc_id"]
+        for r in stratified_sample(df, _MIX_RATES, "src",
+                                   salt="m3").collect()
+    }
+    assert kept_flag == kept_filter
+    # dict variant is a pure map-side expression: zero Exchange
+    plan = (stratified_sample(df, _MIX_RATES, "src", salt="m3")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_df_matches_dict_variant(spark):
+    df = _mix_df(spark, 800)
+    rates_df = spark.createDataFrame(
+        [(g, r) for g, r in _MIX_RATES.items()], "src string, rate double"
+    )
+    via_df = stratified_sample_df(
+        df, rates_df, "src", salt="m4", default_rate=0.3
+    )
+    via_dict = stratified_sample(
+        df, _MIX_RATES, "src", salt="m4", default_rate=0.3
+    )
+    assert sorted(r["doc_id"] for r in via_df.collect()) == \
+        sorted(r["doc_id"] for r in via_dict.collect())
+    assert via_df.columns == df.columns  # helper cols dropped
+    # rate table rides a broadcast join; the corpus side must not
+    # shuffle (no hash-partitioning Exchange)
+    plan = via_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def _spark_words_model(text: str) -> list[str]:
