@@ -773,6 +773,22 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_MIN_COUNT = 2
+LM_ALPHA = 0.4
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM trained on the corpus itself, then
+    scoring every document (the CCNet perplexity-filter stage).
+    min_count=2 exercises pruning, so rare words hit the OOV floor
+    and rare bigrams hit the backoff branch in both engines."""
+    from bm25_chroma_spark.operators.lm import score_lm, train_word_lm
+
+    docs = _load_docs(spark, sf_dir)
+    lm = train_word_lm(docs, min_count=LM_MIN_COUNT)
+    return score_lm(docs, lm, alpha=LM_ALPHA, round_to=ROUND)
+
+
 def _knn_query_vecs(spark: SparkSession, sf_dir: str):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rows = {
@@ -1784,6 +1800,61 @@ FROM d
 
 _ORACLES["mix_sample"] = _mix_sample_oracle()
 
+# Stupid-Backoff bigram LM: counts, one-threshold pruning (a bigram
+# kept at min_count implies both its words are kept, so the SQL can
+# skip an explicit vocab semi-join), per-token score, per-doc avg ln.
+# ln on identical doubles agrees across engines to ulp; the avg is
+# rounded before hashing per the house float contract.
+_ORACLES["lm_score"] = rf"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND NOT regexp_matches(text, '^\s*$')
+),
+tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+uni_all AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM uni_all),
+uni AS (SELECT * FROM uni_all WHERE c >= {LM_MIN_COUNT}),
+p AS (
+  SELECT doc_id, len(w)::INT AS n_toks, unnest(range(1, len(w) + 1)) AS i, w
+  FROM w
+),
+pt AS (
+  SELECT doc_id, n_toks, i,
+         CASE WHEN i = 1 THEN NULL ELSE w[i - 1] END AS w1,
+         w[i] AS w2
+  FROM p
+),
+big AS (
+  SELECT w1, w2, count(*)::BIGINT AS c
+  FROM pt WHERE w1 IS NOT NULL
+  GROUP BY w1, w2 HAVING count(*) >= {LM_MIN_COUNT}
+),
+sc AS (
+  SELECT pt.doc_id, pt.n_toks,
+         CASE
+           WHEN pt.w1 IS NULL
+             THEN coalesce(u2.c / t.n, {LM_ALPHA} / t.n)
+           WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+             THEN b.c::DOUBLE / u1.c::DOUBLE
+           ELSE {LM_ALPHA} * coalesce(u2.c / t.n, {LM_ALPHA} / t.n)
+         END AS s
+  FROM pt
+  LEFT JOIN big b ON b.w1 = pt.w1 AND b.w2 = pt.w2
+  LEFT JOIN uni u1 ON u1.term = pt.w1
+  LEFT JOIN uni u2 ON u2.term = pt.w2
+  CROSS JOIN tot t
+)
+SELECT doc_id, any_value(n_toks)::INT AS n_tokens,
+       round(avg(ln(s)), {ROUND}) + 0.0 AS avg_logprob
+FROM sc GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 0::INT AS n_tokens, NULL::DOUBLE AS avg_logprob
+FROM documents
+WHERE text IS NULL OR regexp_matches(text, '^\s*$')
+"""
+
 
 def _knn_oracle() -> str:
     qsel = ", ".join(str(i) for i in KNN_QUERY_IDS)
@@ -2441,6 +2512,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "hash_split": q_hash_split,
         "mix_sample": q_mix_sample,
+        "lm_score": q_lm_score,
         "doc_chunks": q_doc_chunks,
         "span_dedup": q_span_dedup,
         "span_dedup_fast": q_span_dedup_fast,
