@@ -773,6 +773,28 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 8
+SHARD_SALT = "sh8"
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + the manifest agg the
+    shard writer commits (per-shard rows / payload / id range)."""
+    from bm25_chroma_spark.operators.sharding import assign_shards
+
+    docs = _load_docs(spark, sf_dir).select("doc_id", "n_chars")
+    return (
+        assign_shards(docs, N_SHARDS, salt=SHARD_SALT)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
 LM_MIN_COUNT = 2
 LM_ALPHA = 0.4
 
@@ -1800,6 +1822,24 @@ FROM d
 
 _ORACLES["mix_sample"] = _mix_sample_oracle()
 
+def _shard_manifest_oracle() -> str:
+    from bm25_chroma_spark.operators.sharding import shard_sql_expr
+
+    return f"""
+WITH a AS (
+  SELECT doc_id, n_chars,
+         {shard_sql_expr("doc_id", N_SHARDS, SHARD_SALT)} AS shard_id
+  FROM documents
+)
+SELECT shard_id, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM a GROUP BY shard_id
+"""
+
+
+_ORACLES["shard_manifest"] = _shard_manifest_oracle()
+
 # Stupid-Backoff bigram LM: counts, one-threshold pruning (a bigram
 # kept at min_count implies both its words are kept, so the SQL can
 # skip an explicit vocab semi-join), per-token score, per-doc avg ln.
@@ -2513,6 +2553,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "mix_sample": q_mix_sample,
         "lm_score": q_lm_score,
+        "shard_manifest": q_shard_manifest,
         "doc_chunks": q_doc_chunks,
         "span_dedup": q_span_dedup,
         "span_dedup_fast": q_span_dedup_fast,
