@@ -27,9 +27,16 @@ training in one job, composed from the pipeline operators:
      counters ride the write job instead of costing their own scan.
   4. DECONTAMINATE (optional) — drop docs sharing an n-gram with
      --benchmark (broadcast shared-n-gram flagging).
-  5. SPLIT — deterministic md5-threshold train/val/test labels
+  5. MIX (optional, --mix-rates) — deterministic per-group keep
+     rates on --mix-col (source mixing: down-weight crawl, keep
+     curated); the kept/dropped counts ride the write via a second
+     observe(), no extra scan.
+  6. SPLIT — deterministic md5-threshold train/val/test labels
      (--weights, --salt), written with partitionBy(split) so readers
      prune.
+  7. SHARD (optional, --shards N) — attach a deterministic training
+     shard id and partition the output by (split, shard_id) so a
+     trainer streams shard directories directly.
 
 Without --benchmark the whole job is ONE corpus scan feeding one
 partitioned write (report metrics ride it via observe); the optional
@@ -111,6 +118,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="benchmark/eval parquet (same text column); "
                         "docs sharing an n-gram are dropped")
     p.add_argument("--decon-n", type=int, default=13)
+    p.add_argument("--mix-rates", default="",
+                   help="comma-separated group=rate keep fractions "
+                        "(e.g. 'en=1.0,fr=0.5') applied per --mix-col "
+                        "after filtering: deterministic md5-threshold "
+                        "source mixing (empty = off)")
+    p.add_argument("--mix-col", default="lang_pred",
+                   help="column holding the mixing group; must exist "
+                        "on the ANNOTATED frame (annotate_docs "
+                        "selects a fixed column set — the predicted "
+                        "language 'lang_pred' is the default group)")
+    p.add_argument("--mix-default", type=float, default=1.0,
+                   help="keep rate for groups absent from --mix-rates")
+    p.add_argument("--mix-salt", default="")
+    p.add_argument("--shards", type=int, default=0,
+                   help="assign each kept doc a deterministic training "
+                        "shard id and partition the output by "
+                        "(split, shard_id) (0 = off)")
+    p.add_argument("--shard-salt", default="")
     p.add_argument("--weights", default="train=0.9,val=0.05,test=0.05")
     p.add_argument("--salt", default="")
     p.add_argument("--cores", type=int, default=4)
@@ -277,11 +302,42 @@ def run(args) -> dict:
         kept = purge_contaminated(kept, flaggods, id_col=args.id_col)
         report["dropped_contaminated"] = int(n_contaminated)
 
+    obs_mix = None
+    if args.mix_rates:
+        from bm25_chroma_spark.functions.splits import stratified_sample
+
+        mixed = stratified_sample(
+            kept,
+            _parse_weights(args.mix_rates),
+            args.mix_col,
+            id_col=args.id_col,
+            salt=args.mix_salt,
+            default_rate=args.mix_default,
+            keep_col="__mix_keep",
+        )
+        # second Observation on the same write job: counts every
+        # post-filter row and the mix decision without another scan
+        obs_mix = Observation("mix_stats")
+        mixed = mixed.observe(
+            obs_mix,
+            F.count(F.lit(1)).alias("pre_mix_docs"),
+            F.sum(F.col("__mix_keep").cast("long")).alias("mix_kept"),
+        )
+        kept = mixed.filter(F.col("__mix_keep")).drop("__mix_keep")
+
     weights = _parse_weights(args.weights)
     final = hash_split(
         kept, weights, id_col=args.id_col, salt=args.salt
     )
-    final.write.mode("overwrite").partitionBy("split").parquet(
+    partition_cols = ["split"]
+    if args.shards:
+        from bm25_chroma_spark.operators.sharding import assign_shards
+
+        final = assign_shards(
+            final, args.shards, id_col=args.id_col, salt=args.shard_salt
+        )
+        partition_cols.append("shard_id")
+    final.write.mode("overwrite").partitionBy(*partition_cols).parquet(
         args.output
     )
     report.update(
@@ -299,6 +355,17 @@ def run(args) -> dict:
     }
     report["splits"] = split_counts
     report["output_docs"] = int(sum(split_counts.values()))
+    if obs_mix is not None:
+        pre = int(obs_mix.get["pre_mix_docs"] or 0)
+        mix_kept = int(obs_mix.get["mix_kept"] or 0)
+        report["dropped_mix"] = pre - mix_kept
+    if args.shards:
+        report["shard_docs"] = {
+            str(r["shard_id"]): int(r["n"])
+            for r in out.groupBy("shard_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
     if staged is not None:
         # the staged copy is corpus-sized: delete it through the
         # Hadoop FS API (works for any scheme, not just file://)

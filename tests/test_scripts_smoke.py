@@ -373,3 +373,97 @@ def test_prep_corpus_strip_html_and_blocklist(spark, tmp_path, monkeypatch):
     assert "<p>" not in got[2] and "href" not in got[2]
     assert "Fine sentence two here today." in got[2]
     assert "domain_blocked" not in spark.read.parquet(out).columns
+
+
+def test_prep_corpus_mix_and_shards(spark, tmp_path, monkeypatch):
+    """--mix-rates drops per-group with a counted report entry riding
+    the write; --shards partitions the output by (split, shard_id)
+    with the deterministic md5 assignment."""
+    import hashlib
+    import json
+    import sys
+
+    import scripts.prep_corpus as pc
+
+    en = ("the quick fox and the dog is one of many that it has "
+          "for you in this story today ")
+    und = ("zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj "
+           "ii hh gg ff ee dd cc ")
+    rows = [(i, en + f"tail{i} extra words here") for i in range(10)]
+    rows += [(100 + i, und + f"t{i} more filler body") for i in range(10)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "mixed")
+    rpt = str(tmp_path / "mix_report.json")
+    monkeypatch.setattr(sys, "argv", [
+        "prep_corpus.py", "--input", src, "--output", out,
+        "--report", rpt, "--mix-rates", "en=1.0,und=0.0",
+        "--mix-salt", "m", "--shards", "2", "--shard-salt", "w",
+        "--weights", "train=1.0", "--salt", "s",
+    ])
+    pc.main()
+
+    report = json.loads(open(rpt).read())
+    assert report["input_docs"] == 20
+    assert report["dropped_mix"] == 10          # every 'und' doc
+    assert report["output_docs"] == 10
+    got = spark.read.parquet(out)
+    assert {r["lang_pred"] for r in got.select("lang_pred").collect()} \
+        == {"en"}
+    # shard ids match the deterministic md5 model, and the report map
+    # agrees with what landed
+    by_shard = {}
+    for r in got.select("doc_id", "shard_id").collect():
+        h = hashlib.md5(f"{r['doc_id']}w".encode()).hexdigest()
+        assert r["shard_id"] == int(h[:8], 16) % 2
+        by_shard[r["shard_id"]] = by_shard.get(r["shard_id"], 0) + 1
+    assert report["shard_docs"] == {
+        str(k): v for k, v in by_shard.items()
+    }
+    assert "shard_id" in got.columns and "split" in got.columns
+
+
+def test_lm_score_corpus_cli(spark, tmp_path, monkeypatch):
+    """scripts/lm_score_corpus.py: train on --ref, score the corpus,
+    bucket, and report — fluent text outscores gibberish."""
+    import json
+    import sys
+
+    import scripts.lm_score_corpus as ls
+
+    fluent = "the cat sat on the mat and the dog ran to the cat "
+    ref_rows = [(i, fluent) for i in range(20)]
+    corpus_rows = [
+        (0, fluent),
+        (1, fluent + "and the dog sat on the mat"),
+        (2, "qq ww ee rr tt yy uu ii oo pp"),   # all OOV
+        (3, "   "),                              # blank -> NULL score
+    ]
+    src = str(tmp_path / "corpus.parquet")
+    refp = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(
+        corpus_rows, "doc_id long, text string"
+    ).write.parquet(src)
+    spark.createDataFrame(
+        ref_rows, "doc_id long, text string"
+    ).write.parquet(refp)
+    out = str(tmp_path / "scores")
+    rpt = str(tmp_path / "lm_report.json")
+    monkeypatch.setattr(sys, "argv", [
+        "lm_score_corpus.py", "--input", src, "--ref", refp,
+        "--output", out, "--report", rpt, "--min-count", "2",
+        "--buckets", "2",
+    ])
+    ls.main()
+
+    report = json.loads(open(rpt).read())
+    assert report["scored_docs"] == 4
+    assert report["train_tokens"] == 20 * len(fluent.split())
+    assert report["vocab_size"] > 0 and report["bigrams"] > 0
+    assert sum(report["bucket_docs"].values()) >= 3  # NULL may be absent
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[0]["avg_logprob"] > rows[2]["avg_logprob"]
+    assert rows[3]["avg_logprob"] is None and rows[3]["n_tokens"] == 0
+    assert rows[0]["lm_bucket"] == 0        # head bucket
+    assert rows[2]["lm_bucket"] == 1        # tail
+    assert rows[3]["lm_bucket"] is None
