@@ -267,6 +267,51 @@ def main() -> None:
         explain_str(filter_blocked_domains(docs, bl)),
     ))
 
+    from bm25_chroma_spark.functions.splits import stratified_sample
+
+    sections.append((
+        "Stratified source mixing (r8): per-group md5-threshold keep "
+        "rates as a literal when-chain — a pure map-side filter, zero "
+        "Exchanges, deterministic under any partitioning; the "
+        "DataFrame-rate-table variant swaps the chain for ONE "
+        "BroadcastHashJoin when the weight table is 100k+ domains",
+        explain_str(
+            stratified_sample(
+                docs, {"en": 1.0, "fr": 0.5, "de": 0.25}, "lang",
+                default_rate=0.1,
+            )
+        ),
+    ))
+
+    from bm25_chroma_spark.operators.lm import score_lm, train_word_lm
+
+    lm = train_word_lm(docs, min_count=2)
+    sections.append((
+        "Stupid-Backoff LM scoring (r8, CCNet stage): the corpus "
+        "explodes to (context, token) pairs and meets the PRUNED "
+        "model through three BroadcastHashJoins (bigram, context "
+        "unigram, token unigram — the model is broadcastable by "
+        "construction via min_count); the ONLY corpus shuffle is the "
+        "final per-doc average, which partial-aggregates map-side",
+        explain_str(score_lm(docs, lm, round_to=6)),
+    ))
+
+    from bm25_chroma_spark.operators.sharding import assign_shards
+
+    sections.append((
+        "Training-shard assignment + manifest agg (r8): the shard id "
+        "is a map-side md5-prefix expression (no Exchange in the "
+        "assignment); the writer's only shuffle is repartition(shard) "
+        "and the manifest shares the assignment in one partial+final "
+        "hash agg",
+        explain_str(
+            assign_shards(docs, 16).groupBy("shard_id").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        ),
+    ))
+
     sections.append((
         "Relational showcase Q1-shape: partial+final hash agg, "
         "column-pruned parquet scan (ReadSchema shows only touched "
