@@ -28,6 +28,18 @@ from bm25_chroma_spark.operators.span_dedup import (
     remove_repeated_spans,
     repeated_span_keys,
 )
+from bm25_chroma_spark.operators.lm import (
+    WordLM,
+    lm_buckets,
+    score_lm,
+    train_word_lm,
+)
+from bm25_chroma_spark.operators.sharding import (
+    assign_shards,
+    read_shard_manifest,
+    validate_shards,
+    write_training_shards,
+)
 
 __all__ = [
     "LogicalIndex",
@@ -52,4 +64,12 @@ __all__ = [
     "rrf_fuse",
     "remove_repeated_spans",
     "repeated_span_keys",
+    "WordLM",
+    "lm_buckets",
+    "score_lm",
+    "train_word_lm",
+    "assign_shards",
+    "read_shard_manifest",
+    "validate_shards",
+    "write_training_shards",
 ]
