@@ -350,6 +350,33 @@ def run_workload(cpus: int, sf_dir: str, synth_files: int) -> dict:
         span_probe().collect()
         span_trials.append(time.time() - t0)
     timings["span_dedup_100k"] = min(span_trials)
+
+    # 6e. Stupid-Backoff LM train+score over the same materialized
+    # 100k corpus (r8): train = two partial-aggregable explode+counts
+    # pruned broadcastable (14k unigrams / 103k bigrams at
+    # min_count=5 over 12.5M tokens); score = explode (context,
+    # token) pairs + three broadcast joins + one per-doc avg. The
+    # probe retrains per pass — the model is state derived from the
+    # corpus, so a real pipeline pays both stages. Solo median
+    # 5.43 s on a healthy host (BENCH/r8_notes.md §5). Median of 3.
+    from bm25_chroma_spark.operators.lm import score_lm, train_word_lm
+
+    def lm_probe():
+        docs = spark.read.parquet(sim_src)
+        lm = train_word_lm(docs, min_count=5)
+        return score_lm(docs, lm, round_to=6).agg(
+            F.sum("n_tokens").alias("nt"),
+            F.sum("avg_logprob").alias("s"),
+        )
+
+    lm_probe().collect()  # warm: Python workers + codegen JIT
+    lm_trials = []
+    for _ in range(3):
+        t0 = time.time()
+        lm_probe().collect()
+        lm_trials.append(time.time() - t0)
+    timings["lm_score_100k"] = sorted(lm_trials)[1]  # median of 3
+
     shutil.rmtree(sim_src, ignore_errors=True)
     shutil.rmtree(span_pos, ignore_errors=True)
 
