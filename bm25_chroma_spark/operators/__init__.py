@@ -34,6 +34,11 @@ from bm25_chroma_spark.operators.lm import (
     score_lm,
     train_word_lm,
 )
+from bm25_chroma_spark.operators.quality_clf import (
+    NBQualityModel,
+    score_nb_quality,
+    train_nb_quality,
+)
 from bm25_chroma_spark.operators.sharding import (
     assign_shards,
     read_shard_manifest,
@@ -64,6 +69,9 @@ __all__ = [
     "rrf_fuse",
     "remove_repeated_spans",
     "repeated_span_keys",
+    "NBQualityModel",
+    "score_nb_quality",
+    "train_nb_quality",
     "WordLM",
     "lm_buckets",
     "score_lm",

@@ -811,6 +811,36 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_lm(docs, lm, alpha=LM_ALPHA, round_to=ROUND)
 
 
+# the "curated" seed for the NB quality classifier: a fixed source
+# subset (deterministic in both engines; NULL source counts as crawl)
+NB_CURATED_SOURCES = ("src0", "src1", "src2", "src3")
+NB_MIN_COUNT = 2
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-vs-crawl Naive Bayes quality score (the GPT-3-recipe
+    discriminative filter): train on a fixed source subset as the
+    curated seed vs the rest as crawl, then score every document.
+    min_count=2 exercises pruning, so rare words take the smoothed
+    OOV floor in both engines."""
+    from bm25_chroma_spark.operators.quality_clf import (
+        score_nb_quality,
+        train_nb_quality,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    is_pos = F.when(
+        F.col("source").isin(*NB_CURATED_SOURCES), F.lit(1)
+    ).otherwise(F.lit(0))
+    labeled = docs.withColumn("__y", is_pos)
+    model = train_nb_quality(
+        labeled.filter(F.col("__y") == 1),
+        labeled.filter(F.col("__y") == 0),
+        min_count=NB_MIN_COUNT,
+    )
+    return score_nb_quality(docs, model, round_to=ROUND)
+
+
 def _knn_query_vecs(spark: SparkSession, sf_dir: str):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rows = {
@@ -1896,6 +1926,55 @@ WHERE text IS NULL OR regexp_matches(text, '^\s*$')
 """
 
 
+def _nb_quality_oracle() -> str:
+    """Independent DuckDB Naive Bayes: same label rule, tokenization,
+    Laplace arithmetic, and pre-prune denominators as
+    operators/quality_clf.py (per-token ln agrees to ulp across
+    engines; round-after-avg kills summation-order drift — the same
+    contract the hash-green lm_score entry validates)."""
+    curated = ", ".join(f"'{s}'" for s in NB_CURATED_SOURCES)
+    return rf"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN source IN ({curated}) THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+w AS (
+  SELECT doc_id, y,
+         regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM lab
+  WHERE text IS NOT NULL AND NOT regexp_matches(text, '^\s*$')
+),
+tok AS (SELECT doc_id, y, unnest(w) AS term FROM w),
+cnt_all AS (
+  SELECT term, sum(y)::BIGINT AS pc, sum(1 - y)::BIGINT AS nc
+  FROM tok GROUP BY term
+),
+tot AS (
+  SELECT sum(pc)::DOUBLE AS pt, sum(nc)::DOUBLE AS nt,
+         count(*)::DOUBLE AS v
+  FROM cnt_all
+),
+cnt AS (SELECT * FROM cnt_all WHERE pc + nc >= {NB_MIN_COUNT}),
+sc AS (
+  SELECT tok.doc_id,
+         ln((coalesce(c.pc, 0) + 1.0) / (t.pt + t.v))
+           - ln((coalesce(c.nc, 0) + 1.0) / (t.nt + t.v)) AS llr
+  FROM tok LEFT JOIN cnt c ON c.term = tok.term CROSS JOIN tot t
+)
+SELECT doc_id, count(*)::INT AS n_tokens,
+       round(avg(llr), {ROUND}) + 0.0 AS quality_logodds
+FROM sc GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 0::INT AS n_tokens, NULL::DOUBLE AS quality_logodds
+FROM documents
+WHERE text IS NULL OR regexp_matches(text, '^\s*$')
+"""
+
+
+_ORACLES["nb_quality"] = _nb_quality_oracle()
+
+
 def _knn_oracle() -> str:
     qsel = ", ".join(str(i) for i in KNN_QUERY_IDS)
     case = " ".join(
@@ -2553,6 +2632,7 @@ def spark_queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "mix_sample": q_mix_sample,
         "lm_score": q_lm_score,
+        "nb_quality": q_nb_quality,
         "shard_manifest": q_shard_manifest,
         "doc_chunks": q_doc_chunks,
         "span_dedup": q_span_dedup,

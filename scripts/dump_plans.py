@@ -296,6 +296,27 @@ def main() -> None:
         explain_str(score_lm(docs, lm, round_to=6)),
     ))
 
+    from bm25_chroma_spark.operators.quality_clf import (
+        score_nb_quality,
+        train_nb_quality,
+    )
+
+    nb = train_nb_quality(
+        docs.filter(F.col("source").isin("src0", "src1", "src2", "src3")),
+        docs.filter(~F.col("source").isin("src0", "src1", "src2", "src3")),
+        min_count=2,
+    )
+    sections.append((
+        "Naive Bayes quality classifier scoring (r8, GPT-3-recipe "
+        "curated-vs-crawl filter): the corpus explodes to tokens and "
+        "meets the PRUNED per-class count model through ONE "
+        "BroadcastHashJoin; the ONLY corpus shuffle is the final "
+        "per-doc average log-likelihood-ratio, which "
+        "partial-aggregates map-side — training itself is a single "
+        "groupBy(term) over the labeled union",
+        explain_str(score_nb_quality(docs, nb, round_to=6)),
+    ))
+
     from bm25_chroma_spark.operators.sharding import assign_shards
 
     sections.append((

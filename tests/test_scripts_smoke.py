@@ -467,3 +467,53 @@ def test_lm_score_corpus_cli(spark, tmp_path, monkeypatch):
     assert rows[0]["lm_bucket"] == 0        # head bucket
     assert rows[2]["lm_bucket"] == 1        # tail
     assert rows[3]["lm_bucket"] is None
+
+
+def test_quality_clf_corpus_cli(spark, tmp_path, monkeypatch):
+    """scripts/quality_clf_corpus.py: train on --pos vs the corpus,
+    score, bucket, and report — curated-like text outscores spam."""
+    import json
+    import sys
+
+    import scripts.quality_clf_corpus as qc
+
+    curated = "the article explains the theorem with cited sources "
+    # each spam word appears twice so it survives --min-count 2 and
+    # scores BELOW the smoothed OOV floor (negative evidence beats
+    # no evidence); doc2's all-OOV floor then sits between spam and
+    # curated, making the 2-bucket cut deterministic
+    spam = "click click buy buy cheap cheap pills pills win win "
+    pos_rows = [(i, curated) for i in range(10)]
+    corpus_rows = [
+        (0, curated + "and the proof"),
+        (1, spam),
+        (2, "zz qq ww"),   # all OOV -> constant smoothed floor
+        (3, None),          # NULL -> n_tokens 0, NULL score
+    ]
+    src = str(tmp_path / "corpus.parquet")
+    posp = str(tmp_path / "pos.parquet")
+    spark.createDataFrame(
+        corpus_rows, "doc_id long, text string"
+    ).write.parquet(src)
+    spark.createDataFrame(
+        pos_rows, "doc_id long, text string"
+    ).write.parquet(posp)
+    out = str(tmp_path / "q_scores")
+    rpt = str(tmp_path / "q_report.json")
+    monkeypatch.setattr(sys, "argv", [
+        "quality_clf_corpus.py", "--input", src, "--pos", posp,
+        "--output", out, "--report", rpt, "--min-count", "2",
+        "--buckets", "2",
+    ])
+    qc.main()
+
+    report = json.loads(open(rpt).read())
+    assert report["scored_docs"] == 4
+    assert report["pos_tokens"] == 10 * len(curated.split())
+    assert report["vocab_size"] > 0 and report["model_terms"] > 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[0]["quality_logodds"] > rows[1]["quality_logodds"]
+    assert rows[3]["quality_logodds"] is None and rows[3]["n_tokens"] == 0
+    assert rows[0]["q_bucket"] == 0         # head bucket
+    assert rows[1]["q_bucket"] == 1         # tail
+    assert rows[3]["q_bucket"] is None
