@@ -83,25 +83,50 @@ def write_training_shards(
     salt: str = "",
     sum_cols: tuple[str, ...] = (),
     shard_col: str = "shard_id",
+    order: str = "id",
 ) -> dict:
     """Write ``df`` as ``n_shards`` sorted parquet shards under
-    ``path`` (one directory and one file per shard, rows sorted by
-    ``id_col``) plus an atomically-committed ``_manifest.json``
-    (underscore-prefixed so Spark/Hadoop readers of the shard store
-    skip it, like _SUCCESS) carrying per-shard row counts and
-    ``sum_cols`` payload sums (e.g. a token count column — lets the
-    trainer budget steps without a scan). Returns the manifest dict.
-    Manifest IO is plain local-FS file ops here; an object-store
-    deployment would route them through the Hadoop FS API like
-    scripts/prep_corpus.py does for its staged parquet.
+    ``path`` (one directory and one file per shard) plus an
+    atomically-committed ``_manifest.json`` (underscore-prefixed so
+    Spark/Hadoop readers of the shard store skip it, like _SUCCESS)
+    carrying per-shard row counts and ``sum_cols`` payload sums
+    (e.g. a token count column — lets the trainer budget steps
+    without a scan). Returns the manifest dict. Manifest IO is plain
+    local-FS file ops here; an object-store deployment would route
+    them through the Hadoop FS API like scripts/prep_corpus.py does
+    for its staged parquet.
+
+    ``order`` picks the in-file row order — either way a pure
+    function of the row set, so reruns are byte-identical:
+
+    - ``"id"`` (default): sorted by ``id_col`` — resumable range
+      reads, friendliest parquet encoding.
+    - ``"shuffled"``: sorted by ``md5(id || salt || '#order')`` — a
+      seeded GLOBAL example shuffle (the T5/C4 pre-training step):
+      trainers stream pre-mixed data without a runtime shuffle
+      buffer, and because the order key reuses the id digest family
+      it decorrelates from any id/source/time ordering. The id
+      breaks digest-collision ties.
 
     The write itself is ONE shuffle (repartition on the shard id);
     the manifest agg shares the map-side assignment and partial-
     aggregates, so the whole sink is two jobs over one scan each."""
+    if order == "id":
+        sort_keys = [F.col(shard_col), F.col(id_col)]
+    elif order == "shuffled":
+        sort_keys = [
+            F.col(shard_col),
+            F.md5(F.concat(
+                F.col(id_col).cast("string"), F.lit(salt + "#order")
+            )),
+            F.col(id_col),
+        ]
+    else:
+        raise ValueError("order must be 'id' or 'shuffled'")
     assigned = assign_shards(df, n_shards, id_col, salt, shard_col)
     (
         assigned.repartition(n_shards, F.col(shard_col))
-        .sortWithinPartitions(shard_col, id_col)
+        .sortWithinPartitions(*sort_keys)
         .write.mode("overwrite")
         .partitionBy(shard_col)
         .parquet(path)
@@ -119,6 +144,7 @@ def write_training_shards(
         "n_shards": n_shards,
         "id_col": id_col,
         "salt": salt,
+        "order": order,
         "total_rows": int(sum(s["n_rows"] for s in shards.values())),
         "shards": {str(k): shards[k] for k in sorted(shards)},
     }

@@ -120,3 +120,40 @@ def test_validate_shards_detects_tamper(spark, tmp_path):
     audit = validate_shards(spark, path)
     assert not audit["ok"]
     assert audit["mismatches"][0]["shard"] == 0
+
+
+def test_write_shards_shuffled_order(spark, tmp_path):
+    """order='shuffled': in-file order = the seeded md5 order (the
+    T5/C4 global example shuffle), decorrelated from id order, and
+    byte-identical across reruns and input partitionings."""
+    import hashlib as hl
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_training_shards(docs, p1, 3, salt="o", order="shuffled")
+    write_training_shards(
+        docs.repartition(11), p2, 3, salt="o", order="shuffled"
+    )
+    assert m1["order"] == "shuffled"
+
+    def okey(i: int) -> str:
+        return hl.md5(f"{i}o#order".encode()).hexdigest()
+
+    for s in range(3):
+        f1 = [f for f in glob.glob(os.path.join(p1, f"shard_id={s}", "*"))
+              if f.endswith(".parquet")]
+        f2 = [f for f in glob.glob(os.path.join(p2, f"shard_id={s}", "*"))
+              if f.endswith(".parquet")]
+        assert len(f1) == 1 and len(f2) == 1
+        ids = [r["doc_id"] for r in spark.read.parquet(f1[0]).collect()]
+        assert ids == sorted(ids, key=lambda i: (okey(i), i))
+        assert ids != sorted(ids)  # genuinely decorrelated from id order
+        with open(f1[0], "rb") as a, open(f2[0], "rb") as b:
+            assert a.read() == b.read()
+    # default stays id-ordered and stamps the manifest
+    p3 = str(tmp_path / "s3")
+    assert write_training_shards(docs, p3, 2)["order"] == "id"
+    with pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "s4"), 2, order="bogus")
