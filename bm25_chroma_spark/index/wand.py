@@ -15,30 +15,21 @@ Two strategies, property-tested to produce identical top-k:
   query. Cursors skip whole blocks whose upper bound cannot beat the
   running threshold.
 
-Strategy guidance: ``exhaustive`` (default) is vectorized end-to-end
-and wins whenever block skipping cannot engage. ``wand`` wins when a
-high-idf anchor fills the top-k inside every segment AND is sparser
-than one posting per hot block — MEASURED in this sandbox (BENCH
-'wand_1m': 1M docs, hot df=1M, anchor df=500, 32-query batch, k=10,
-STEADY-STATE warmed passes, r4): wand 21-26s vs exhaustive
-57-66s across solo runs and three interleaved reps — a repeatable
-2.3-2.7x,
-rank-identical. The win grows with batch size (exhaustive pushes
-|queries| x |hot postings| rows through the agg; WAND's posting
-shuffle is bounded by query-groups): at 16 queries the same setup is
-a statistical tie (11.2 vs 12.9). Below the engagement regime (100k
-'wand_regime', where any top-k-filling anchor lands in every hot
-block; or anchors too sparse to fill a segment's top-k, which
-degenerates WAND to a full Python DAAT — measured 34s vs 5.3s at
-200k docs) exhaustive wins and ``auto`` — the PER-QUERY rule from
-driver-side df stats (_wand_vote_qids, thresholds calibrated against
-both measurements; a mixed batch runs each half on its own engine) —
-routes there. Measured across runs (bench 'wand_mixed', 8+8 mixed
-queries at 1M docs): auto beats BOTH single strategies in every run,
-but its margin over all-exhaustive swings with host noise — ~5% in
-the committed r4 artifact (13.0s vs 13.6 all-exhaustive / 26.0
-all-wand) up to ~40% on quieter runs; the all-wand side loses big
-and stably. Both strategies are exact (property-tested identical).
+Strategy guidance (recalibrated r9): ``exhaustive`` (default) is
+vectorized end-to-end — since r9 its distributed form ships posting
+BYTES once per (segment, query-group) and scores whole posting lists
+in numpy, so the 1M-doc 32-query anchored batch that took 57-70s
+through the old decode-join-agg plan runs in ~1.9s, and it now beats
+the Python Block-Max DAAT in every regime measurable in this sandbox
+(same batch: wand 18.1s). ``wand`` retains its block-skipping value
+only when skipping removes all but ~1/200th of the hot postings
+(_DAAT_COST_RATIO — the measured per-element cost gap between the
+DAAT loop and the numpy scorer); ``auto`` — the PER-QUERY rule from
+driver-side df stats (_wand_vote_qids; a mixed batch runs each half
+on its own engine) — votes exhaustive everywhere in-sandbox and
+keeps the wand branch for the extrapolated extreme regime (anchors
+of a few hundred df in front of >=100M-posting hot lists). Both
+strategies are exact (property-tested identical).
 
 Pruning uses a conservative epsilon (skip only when the bound is
 below threshold - 1e-12) so float drift can never drop a true top-k
@@ -76,11 +67,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bm25_chroma_spark.index.encode import varint_decode
-from bm25_chroma_spark.index.shards import (
-    ShardedIndex,
-    decode_shards_to_postings,
-)
-from bm25_chroma_spark.operators.scoring import bm25_score_expr
+from bm25_chroma_spark.index.shards import ShardedIndex
 
 _EPS = 1e-12
 
@@ -302,6 +289,19 @@ def _bmw_topk(
     return out
 
 
+# Measured per-element cost ratio between the Python Block-Max DAAT
+# and the r9 vectorized numpy exhaustive engine. r9 measurement at the
+# 1M-doc anchored regime (32 queries, anchor df 500, 3 hot terms
+# df=1M, S=16): WAND decodes ~6M block-granular postings + DAAT logic
+# in 18.1 s where the vectorized exhaustive streams 128M query-posting
+# pairs in 1.9 s — ~3 us per WAND-touched posting vs ~15 ns per
+# exhaustive pair. Block skipping therefore only wins when it skips
+# all but ~1/200th of the hot postings; the vote scales its skip
+# condition by this ratio (pre-r9 the exhaustive engine shuffled every
+# scored row through a 2-Exchange agg and the ratio was ~1).
+_DAAT_COST_RATIO = 200
+
+
 def _wand_vote_qids(
     qt_data: List[tuple],
     df_by_term: dict,
@@ -335,20 +335,24 @@ def _wand_vote_qids(
 
     Calibrated against measurement (BENCH 'wand_1m' case, 5-token
     docs, 3 hot terms df=N + anchor, 32-query batch, k=10, S=16
-    segments, block 128; steady-state warmed passes r4):
+    segments, block 128; steady-state warmed passes):
 
-    * 1M docs, anchor df 500 (= 3.1 x k x S): wand 21-26s vs
-      exhaustive 57-66s across solo runs — a repeatable 2.3-2.7x
-      win; the rule routes to wand. (At 16 queries the same regime
-      is a tie — the vote still costs nothing there, 11.2 vs 12.9.)
+    * r9 RECALIBRATION: the vectorized exhaustive engine (numpy
+      whole-list scoring per (segment, query-group)) runs the same
+      1M-doc anchored batch in 1.9s where the Python DAAT takes
+      18.1s — condition (c) is therefore scaled by _DAAT_COST_RATIO:
+      block skipping must remove all but ~1/200th of the hot
+      postings before the DAAT's per-element cost pays for itself.
+      At every regime measurable in this sandbox the vote now lands
+      on exhaustive; the wand branch remains for the extrapolated
+      regime (hot df >= ~200 x block x anchor df, e.g. 100M-posting
+      hot lists behind a few-hundred-df anchor).
     * 200k docs, anchor df 100 (< k x S = 160): per-segment fill
-      FAILS (~6 anchor postings/segment), wand degenerates (34s vs
-      5.3s) — exactly the (b') regime the per-segment fill term now
-      excludes. The old global rule (best_df >= 3k) wrongly voted
-      wand here.
+      FAILS (~6 anchor postings/segment), wand degenerates (r4: 34s
+      vs 5.3s) — the (b') regime the per-segment fill term excludes.
     * The 100k 'wand_regime' case (anchor df ~1.5k, hot df ~96k):
-      condition (c) fails (1.5k x 128 >> 96k), exhaustive wins
-      (1.7s vs 2.4s) and the rule routes there.
+      condition (c) fails (1.5k x 128 x 200 >> 96k), exhaustive wins
+      and the rule routes there.
 
     Exhaustive stays the default for small total work, where fixed
     job overhead dominates either way."""
@@ -374,7 +378,9 @@ def _wand_vote_qids(
         anchor_strong = best_idf >= 1.0  # hot-only queries stay flat
         anchor_fills_topk = best_df >= 3 * top_k * max(n_segments, 1)
         bounds_discriminate = worst_idf <= best_idf / 10.0
-        skipping_engages = best_df * block_size < hot_df
+        skipping_engages = (
+            best_df * block_size * _DAAT_COST_RATIO < hot_df
+        )
         if (
             anchor_strong
             and anchor_fills_topk
@@ -585,24 +591,29 @@ def search_sharded(
             _memo["shards"] = index.shards_for_terms(terms)
         return _memo["shards"]
 
-    def get_dfs_subtree() -> DataFrame:
-        if "dfs" not in _memo:
-            _memo["dfs"] = (
-                get_shards().groupBy("term").agg(F.sum("df").alias("df"))
-            )
-        return _memo["dfs"]
+    def collect_term_dfs() -> List[dict]:
+        """Per-term global df (sum over segments), summed DRIVER-side
+        from the raw (term, df) shard rows: at most n_segments rows
+        per term, and skipping the groupBy turns the df job into a
+        one-stage pruned scan + collect instead of a two-stage agg
+        with its own Exchange (r9, guide §2.4)."""
+        from collections import Counter
+
+        acc: Counter = Counter()
+        for r in get_shards().select("term", "df").collect():
+            acc[r["term"]] += int(r["df"])
+        return [{"term": t, "df": d} for t, d in sorted(acc.items())]
 
     # Per-term global df (sum over segments). Two execution shapes:
-    # * query cap configured or strategy='auto' → collect driver-side
-    #   (bounded by the query's term count) to ENFORCE the query-cap
-    #   contract — the sharded path stores doc-ordered segments and
-    #   cannot reproduce the reference's tf-ordered QUERY cap
-    #   (bm25.py:283), so it refuses instead of silently diverging —
-    #   and/or to feed the auto-strategy rule. (The BUILD cap needs no
-    #   guard: the sharded build honors it physically, so stored dfs
-    #   are already the capped dfs the reference feeds into IDF.)
-    # * otherwise, with an explicit strategy → keep the df agg as a
-    #   plan subtree under the broadcast join (no driver roundtrip).
+    # Per-term global df is ALWAYS collected driver-side (bounded by
+    # the query's term count — queries are tiny by contract): every
+    # engine needs it (cap guard, auto vote, WAND weights, exhaustive
+    # scoring), and keeping it as a plan subtree (the pre-r9 shape for
+    # explicit strategies) forced the exhaustive path to scan the
+    # shards a SECOND time under a 2-stage agg + BroadcastExchange on
+    # every call — one flagship query carried 10 Exchange nodes /
+    # 6 jobs; folding df into the single driver-built query-spec
+    # broadcast removes that whole subtree (r9, guide §2.4/§3.1).
     # caps that must refuse when binding: the query cap always (its
     # tf-ordered traversal is logical-path-only); the BUILD cap only
     # on LEGACY indexes built before physical cap enforcement (their
@@ -616,47 +627,45 @@ def search_sharded(
         guard_caps.append(cfg.max_postings_per_term)
     if use_cache is None:
         use_cache = strategy == "auto"
-    df_rows = None
-    if guard_caps or strategy == "auto" or use_cache:
-        # per-index df cache (cleared on refresh): the driver-side df
-        # agg is a full bucket-pruned scan job; interactive workloads
-        # repeat the same hot terms every query, so pay it once per
-        # (index state, term) instead of once per call. Unknown terms
-        # are cached as 0 so they don't force a job either.
-        cache = getattr(index, "_df_cache", None)
-        if cache is None:
-            cache = index._df_cache = {}
-        if all(t in cache for t in terms):
-            df_rows = [
-                {"term": t, "df": cache[t]} for t in terms if cache[t] > 0
-            ]
-        else:
-            df_rows = get_dfs_subtree().collect()
-            seen = {r["term"] for r in df_rows}
-            for r in df_rows:
-                cache[r["term"]] = int(r["df"])
-            for t in terms:
-                if t not in seen:
-                    cache[t] = 0
-        if guard_caps:
-            limit = min(guard_caps)
-            hot = sorted(
-                (r["term"], int(r["df"]))
-                for r in df_rows
-                if r["df"] > limit
+    # per-index df cache (cleared on refresh): the driver-side df
+    # agg is a full bucket-pruned scan job; interactive workloads
+    # repeat the same hot terms every query, so pay it once per
+    # (index state, term) instead of once per call. Unknown terms
+    # are cached as 0 so they don't force a job either.
+    cache = getattr(index, "_df_cache", None)
+    if cache is None:
+        cache = index._df_cache = {}
+    if all(t in cache for t in terms):
+        df_rows = [
+            {"term": t, "df": cache[t]} for t in terms if cache[t] > 0
+        ]
+    else:
+        df_rows = collect_term_dfs()
+        seen = {r["term"] for r in df_rows}
+        for r in df_rows:
+            cache[r["term"]] = int(r["df"])
+        for t in terms:
+            if t not in seen:
+                cache[t] = 0
+    if guard_caps:
+        limit = min(guard_caps)
+        hot = sorted(
+            (r["term"], int(r["df"]))
+            for r in df_rows
+            if r["df"] > limit
+        )
+        if hot:
+            raise NotImplementedError(
+                "sharded search cannot reproduce a tf-ordered "
+                "posting cap that this index stores uncapped, and "
+                f"these query terms exceed it ({limit}): {hot[:5]}. "
+                "Query with lossless caps (None), use the logical "
+                "path (bm25_score_queries) for reference cap "
+                "semantics, or rebuild: indexes built at r3+ "
+                "honor the BUILD cap physically and only the "
+                "query-time cap refuses."
             )
-            if hot:
-                raise NotImplementedError(
-                    "sharded search cannot reproduce a tf-ordered "
-                    "posting cap that this index stores uncapped, and "
-                    f"these query terms exceed it ({limit}): {hot[:5]}. "
-                    "Query with lossless caps (None), use the logical "
-                    "path (bm25_score_queries) for reference cap "
-                    "semantics, or rebuild: indexes built at r3+ "
-                    "honor the BUILD cap physically and only the "
-                    "query-time cap refuses."
-                )
-    if use_cache and df_rows is not None:
+    if use_cache:
         df_map = {r["term"]: int(r["df"]) for r in df_rows}
         # replication-aware work estimate: the driver DAAT traverses
         # each term's postings once PER QUERY that uses it, so a large
@@ -673,48 +682,175 @@ def search_sharded(
             )
 
     # distributed engines from here on
-    if df_rows is not None:
-        dfs = spark.createDataFrame(
-            [(r["term"], int(r["df"])) for r in df_rows],
-            "term string, df long",
-        )
-    else:
-        dfs = get_dfs_subtree()
+    df_map_all = {r["term"]: int(r["df"]) for r in df_rows}
 
-    def _run_exhaustive(sub_qt: List[tuple]) -> DataFrame:
-        qt = spark.createDataFrame(
-            sub_qt, "query_id long, term string, qtf int"
+    def _qspec_scaffold(sub_qt: List[tuple]):
+        """Shared per-(segment, query-group) scaffolding for both
+        distributed engines: driver-side query spec with idf*qtf
+        weights (terms sorted ascending — a deterministic accumulation
+        order), bounded query-group fan-out, and the shard x qgroup
+        frame whose groupBy ships each (term, segment)'s compressed
+        bytes once per (segment, query-group)."""
+        from collections import defaultdict
+
+        by_qid: dict = defaultdict(list)
+        for qid, term, qtf in sub_qt:
+            df_t = df_map_all.get(term)
+            if not df_t:
+                continue
+            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+            by_qid[qid].append((term, idf * float(qtf)))
+        qspec = sorted(by_qid.items())
+        if not qspec:
+            return None
+        par = max(int(spark.sparkContext.defaultParallelism), 1)
+        n_seg = max(int(cfg.salt_factor), 1)
+        n_qg = max(1, min(len(qspec), -(-2 * par // n_seg)))
+        qg_df = spark.createDataFrame(
+            [(i,) for i in range(n_qg)], "qgroup int"
         )
-        decoded = decode_shards_to_postings(get_shards())
-        joined = decoded.join(F.broadcast(dfs), "term").join(
-            F.broadcast(qt), "term"
-        )
-        contrib = bm25_score_expr(
-            F.col("tf").cast("double"),
-            F.col("dl").cast("double"),
-            F.col("df").cast("double"),
-            index.n_docs,
-            avgdl,
-            cfg.k1,
-            cfg.b,
-        ) * F.col("qtf").cast("double")
-        scores = (
-            joined.select("query_id", "doc_id", contrib.alias("c"))
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum("c").alias("score"))
-        )
+        seg_shards = get_shards().select(
+            "term", "segment", "doc_bytes", "tf_bytes", "dl_bytes",
+            "blocks",
+        ).crossJoin(F.broadcast(qg_df))
+        return qspec, n_qg, seg_shards
+
+    def _rank_candidates(candidates: DataFrame) -> DataFrame:
+        """Global (round-before-)rank over per-segment candidates —
+        segments partition the doc space, so per-segment top-k unions
+        provably cover the global top-k."""
         if score_round is not None:
-            scores = scores.withColumn(
+            candidates = candidates.withColumn(
                 "score", F.round("score", score_round)
             )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
         return (
-            scores.withColumn("rank", F.row_number().over(w))
+            candidates.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k)
             .select("query_id", "doc_id", "score", "rank")
         )
+
+    def _run_exhaustive(sub_qt: List[tuple]) -> DataFrame:
+        # Vectorized exhaustive scoring per (segment, query-group)
+        # (r9, guide §2.3 "shuffle keys and metadata instead of
+        # payloads" / §8): the pre-r9 shape decoded postings to rows,
+        # joined the query spec and pushed |queries| x |postings|
+        # scored rows through a 2-Exchange agg+window — 96M shuffled
+        # rows for the 32-query 1M-doc bench. Here the posting BYTES
+        # ship once per (segment, query-group) — the same bounded
+        # shuffle discipline as the WAND engine — and scoring is
+        # whole-posting-list numpy inside the grouped UDF: decode each
+        # (term, segment) once, accumulate per-doc scores over a
+        # shared sorted doc universe, emit only each segment's
+        # (conservatively margined) top-k. Rounding stays in the JVM
+        # (_rank_candidates applies the exact F.round the old plan
+        # used); the per-segment cut keeps every doc that could still
+        # reach the rounded global top-k: an omitted doc has raw score
+        # < kth - 2*(half-ulp-of-rounding), so its rounded score is
+        # strictly below at least top_k emitted docs.
+        scaffold = _qspec_scaffold(sub_qt)
+        if scaffold is None:
+            return _empty_results_df(spark)
+        qspec, n_qg, seg_shards = scaffold
+        k1, b = cfg.k1, cfg.b
+        margin = (
+            10.0 ** (-score_round) * 1.000001
+            if score_round is not None
+            else 0.0
+        )
+
+        def score_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            from bm25_chroma_spark.index.encode import decode_all
+
+            qg = int(pdf["qgroup"].iloc[0])
+            rows = {r.term: r for r in pdf.itertuples(index=False)}
+            my_queries = qspec[qg::n_qg]
+            need = sorted(
+                {
+                    t
+                    for _, tw in my_queries
+                    for t, _ in tw
+                    if t in rows and len(rows[t].blocks) > 0
+                }
+            )
+            out_frames = []
+            if need:
+                dec = {}
+                for t in need:
+                    r = rows[t]
+                    d, tf, dl = decode_all(
+                        bytes(r.doc_bytes),
+                        bytes(r.tf_bytes),
+                        bytes(r.dl_bytes),
+                        [dict(x) for x in r.blocks],
+                    )
+                    tf = tf.astype(np.float64)
+                    dl = dl.astype(np.float64)
+                    core = (
+                        (tf * (k1 + 1.0))
+                        / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                        / np.sqrt(dl)
+                    )
+                    dec[t] = (d, core)
+                universe = np.unique(
+                    np.concatenate([dec[t][0] for t in need])
+                )
+                pos = {
+                    t: np.searchsorted(universe, dec[t][0]) for t in need
+                }
+                scores = np.zeros(len(universe))
+                matched = np.zeros(len(universe), dtype=bool)
+                for qid, terms_w in my_queries:
+                    pres = [(t, w) for t, w in terms_w if t in dec]
+                    if not pres:
+                        continue
+                    scores[:] = 0.0
+                    matched[:] = False
+                    for t, w in pres:
+                        ix = pos[t]
+                        scores[ix] += dec[t][1] * w
+                        matched[ix] = True
+                    mdocs = universe[matched]
+                    ms = scores[matched]
+                    if len(ms) > top_k:
+                        kth = np.partition(ms, len(ms) - top_k)[
+                            len(ms) - top_k
+                        ]
+                        keep = ms >= kth - margin
+                        mdocs = mdocs[keep]
+                        ms = ms[keep]
+                        if margin == 0.0 and len(ms) > top_k:
+                            order = np.lexsort((mdocs, -ms))[:top_k]
+                            mdocs = mdocs[order]
+                            ms = ms[order]
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    len(mdocs), qid, dtype=np.int64
+                                ),
+                                "doc_id": mdocs,
+                                "score": ms,
+                            }
+                        )
+                    )
+            if not out_frames:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype="int64"),
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "score": pd.Series([], dtype="float64"),
+                    }
+                )
+            return pd.concat(out_frames, ignore_index=True)
+
+        candidates = seg_shards.groupBy("segment", "qgroup").applyInPandas(
+            score_segment_group,
+            schema="query_id long, doc_id long, score double",
+        )
+        return _rank_candidates(candidates)
 
     def _run_wand(sub_qt: List[tuple]) -> DataFrame:
         # --- Block-Max WAND, parallel per (segment, query-group) ---
@@ -734,31 +870,12 @@ def search_sharded(
         # bounded query-group fan-out (n_qgroups ~
         # 2*parallelism/segments) restores task parallelism at a
         # replication factor of n_qgroups, not |queries|.
-        # df_rows is already driver-side when a cap guard or auto
-        # routing ran — don't re-launch the agg job for data we have
-        rows_df = df_rows if df_rows is not None else dfs.collect()
-        df_map = {r["term"]: int(r["df"]) for r in rows_df}
-        from collections import defaultdict
-
-        by_qid: dict = defaultdict(list)
-        for qid, term, qtf in sub_qt:
-            df_t = df_map.get(term)
-            if not df_t:
-                continue
-            idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
-            by_qid[qid].append((term, idf * float(qtf)))
-        qspec = sorted(by_qid.items())
-        if not qspec:
-            return spark.createDataFrame(
-                [], "query_id long, doc_id long, score double, rank int"
-            )
-        par = max(int(spark.sparkContext.defaultParallelism), 1)
-        n_seg = max(int(cfg.salt_factor), 1)
-        n_qg = max(1, min(len(qspec), -(-2 * par // n_seg)))
-        qg_df = spark.createDataFrame(
-            [(i,) for i in range(n_qg)], "qgroup int"
-        )
-        seg_shards = get_shards().crossJoin(F.broadcast(qg_df))
+        # df_rows is always driver-side by now (collected once per
+        # call, cached per index state) — no extra agg job here
+        scaffold = _qspec_scaffold(sub_qt)
+        if scaffold is None:
+            return _empty_results_df(spark)
+        qspec, n_qg, seg_shards = scaffold
         k1, b = cfg.k1, cfg.b
 
         def run_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -790,18 +907,7 @@ def search_sharded(
             run_segment_group,
             schema="query_id long, doc_id long, score double",
         )
-        if score_round is not None:
-            candidates = candidates.withColumn(
-                "score", F.round("score", score_round)
-            )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        return (
-            candidates.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_k)
-            .select("query_id", "doc_id", "score", "rank")
-        )
+        return _rank_candidates(candidates)
 
     if strategy == "auto":
         # PER-QUERY routing: each query runs on the engine its own
@@ -811,7 +917,7 @@ def search_sharded(
         # run — see _wand_vote_qids for the quoted ranges).
         wand_qids = _wand_vote_qids(
             qt_data,
-            {r["term"]: int(r["df"]) for r in df_rows},
+            df_map_all,
             n,
             top_k,
             cfg.block_size,

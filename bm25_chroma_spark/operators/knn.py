@@ -106,11 +106,21 @@ def knn_bruteforce(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
+    if metric == "cosine":
+        # norms are per-SIDE quantities: compute them below the join
+        # (once per doc / once per query) instead of per PAIR — the
+        # aggregate() fold is an interpreted higher-order expression,
+        # so hoisting it out of the |docs| x |queries| cross product
+        # removes 2/3 of the interpreted work (r9, guide §2.3
+        # "project before the exchange"; bit-identical: the same
+        # expression over the same array, multiplied as before).
+        e = e.withColumn("vnorm", _norm(F.col("vec")))
+        q = q.withColumn("qnorm", _norm(F.col("qvec")))
     joined = e.crossJoin(F.broadcast(q))
     if metric == "cosine":
         cos = _nan_div(
             _dot(F.col("vec"), F.col("qvec")),
-            _norm(F.col("vec")) * _norm(F.col("qvec")),
+            F.col("vnorm") * F.col("qnorm"),
         )
         dist = F.lit(1.0) - cos
     elif metric == "l2":
@@ -253,11 +263,18 @@ def knn_lsh(
         .select("query_id", "vec_id")
         .distinct()
     )
-    # vectors rejoin exactly once, post-dedup, for the exact rerank
-    cand = pairs.join(e, "vec_id").join(F.broadcast(q), "query_id")
+    # vectors rejoin exactly once, post-dedup, for the exact rerank;
+    # norms hoisted below the join (once per side, not per pair —
+    # same rationale as knn_bruteforce, bit-identical)
+    cand = pairs.join(
+        e.withColumn("vnorm", _norm(F.col("vec"))), "vec_id"
+    ).join(
+        F.broadcast(q.withColumn("qnorm", _norm(F.col("qvec")))),
+        "query_id",
+    )
     cos = _nan_div(
         _dot(F.col("vec"), F.col("qvec")),
-        _norm(F.col("vec")) * _norm(F.col("qvec")),
+        F.col("vnorm") * F.col("qnorm"),
     )
     scored = cand.select(
         "query_id", "vec_id", (F.lit(1.0) - cos).alias("dist")

@@ -322,11 +322,21 @@ def test_auto_strategy_rule():
     from bm25_chroma_spark.index.wand import _auto_strategy
 
     BS = 128
-    # at-scale selective regime: anchor fills top-k AND is sparser
-    # than one posting per hot-term block -> skipping engages -> wand
-    big = {"anchor": 10_000, "hot1": 90_000_000, "hot2": 100_000_000}
+    # at-scale selective regime (r9 recalibration): the anchor fills
+    # the top-k AND skipping removes all but ~1/200th of the hot
+    # postings (_DAAT_COST_RATIO — the measured cost gap between the
+    # Python DAAT and the r9 vectorized exhaustive) -> wand
+    big = {"anchor": 1_000, "hot1": 90_000_000, "hot2": 100_000_000}
     sel = [(1, "anchor", 1), (1, "hot1", 1), (1, "hot2", 1)]
     assert _auto_strategy(sel, big, 1e8, 10, BS) == "wand"
+    # a denser anchor (10k x 128 x 200 > 100M hot): the numpy
+    # exhaustive streams the hot lists faster than the DAAT can skip
+    # them -> exhaustive
+    assert _auto_strategy(
+        sel,
+        {"anchor": 10_000, "hot1": 90_000_000, "hot2": 100_000_000},
+        1e8, 10, BS,
+    ) == "exhaustive"
     # sandbox-scale selective regime: anchor df 1.5k x block 128 >
     # hot df 95k -> every hot block contains an anchor doc, skipping
     # cannot engage (measured: exhaustive wins/ties) -> exhaustive
@@ -345,16 +355,18 @@ def test_auto_strategy_rule():
     assert _auto_strategy(
         sel, {"anchor": 15, "hot1": 200, "hot2": 300}, 500.0, 10, BS
     ) == "exhaustive"
-    # r3 MEASURED regimes (BENCH wand_1m, S=16 segments): 1M docs,
-    # anchor df 500 >= 3*k*S=480 -> wand (measured 20.9s vs 67.3s);
-    # 200k docs, anchor df 100 < k*S -> the per-segment top-k never
-    # fills, WAND degenerates to a full Python DAAT (measured 34s vs
-    # 5.3s) -> exhaustive
+    # MEASURED regimes (BENCH wand_1m, S=16 segments): 1M docs,
+    # anchor df 500 — pre-r9 this voted wand (20.9s vs the old
+    # engine's 67.3s); the r9 vectorized exhaustive runs the same
+    # batch in 1.9s vs the DAAT's 18.1s, so the recalibrated rule
+    # votes exhaustive (500 x 128 x 200 >> 1M). 200k docs, anchor
+    # df 100 < k*S -> per-segment top-k never fills, WAND degenerates
+    # (r4: 34s vs 5.3s) -> exhaustive
     m1 = [(1, "anchor", 1), (1, "hota", 1), (1, "hotb", 1), (1, "hotc", 1)]
     assert _auto_strategy(
         m1, {"anchor": 500, "hota": 10**6, "hotb": 10**6, "hotc": 10**6},
         1e6, 10, BS, n_segments=16,
-    ) == "wand"
+    ) == "exhaustive"
     assert _auto_strategy(
         m1, {"anchor": 100, "hota": 200_000, "hotb": 200_000,
              "hotc": 200_000},
@@ -486,7 +498,7 @@ def test_wand_vote_qids_is_per_query():
 
     BS = 128
     dfm = {
-        "anchor": 10_000,
+        "anchor": 1_000,
         "hot1": 90_000_000,
         "hot2": 100_000_000,
     }
