@@ -788,12 +788,17 @@ def search_sharded(
                     )
                     tf = tf.astype(np.float64)
                     dl = dl.astype(np.float64)
-                    core = (
-                        (tf * (k1 + 1.0))
-                        / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                        / np.sqrt(dl)
+                    # factors kept separate so the per-query multiply
+                    # below applies them in _Cursor.score_current's
+                    # exact association order — (w * num) / denom /
+                    # sqrt(dl) — keeping single-term contributions
+                    # bit-identical to the DAAT engines
+                    dec[t] = (
+                        d,
+                        tf * (k1 + 1.0),
+                        tf + k1 * (1.0 - b + b * dl / avgdl),
+                        np.sqrt(dl),
                     )
-                    dec[t] = (d, core)
                 universe = np.unique(
                     np.concatenate([dec[t][0] for t in need])
                 )
@@ -810,7 +815,8 @@ def search_sharded(
                     matched[:] = False
                     for t, w in pres:
                         ix = pos[t]
-                        scores[ix] += dec[t][1] * w
+                        _, num, dnm, sq = dec[t]
+                        scores[ix] += w * num / dnm / sq
                         matched[ix] = True
                     mdocs = universe[matched]
                     ms = scores[matched]

@@ -50,7 +50,7 @@ from bm25_chroma_spark.config import BM25Config
 from bm25_chroma_spark.index.dml import apply_dml
 from bm25_chroma_spark.index.shards import ShardedIndex, build_sharded_index
 from bm25_chroma_spark.index.wand import search_sharded
-from bm25_chroma_spark.operators.fusion import rrf_fuse, rrf_fuse_py
+from bm25_chroma_spark.operators.fusion import rrf_fuse_py
 
 
 def deterministic_stub_embedder(texts: Sequence[str], dim: int = 64
@@ -1337,42 +1337,57 @@ class SparkHybridRetriever:
             vec = empty
 
         # per-query leg presence drives the reference's fallback:
-        # both legs -> RRF; one leg -> that leg's RAW scores. The
-        # distinct query-id sets are tiny (8 bytes/query) — broadcast.
-        qb = bm25.select("query_id").distinct()
-        qv = vec.select("query_id").distinct()
-        both = qb.join(F.broadcast(qv), "query_id")
-        fused = rrf_fuse(
-            [
-                bm25.join(F.broadcast(both), "query_id"),
-                vec.join(F.broadcast(both), "query_id"),
-            ],
-            weights=[0.5, 0.5],
-            k=60,
-            top_k=n_results,
-            key_col="doc_uid",
-        ).select(
-            "query_id", "doc_uid",
-            F.col("rrf_score").alias("score"), "rank",
+        # both legs -> RRF; one leg -> that leg's RAW scores.
+        # ONE-PASS fusion (r9, guide §2.4): the pre-r9 shape derived
+        # per-query leg presence from two distinct() sets joined back
+        # into the legs plus two anti-joins — each leg SUBTREE (search
+        # + uid-map join) appeared three times in the plan. Here both
+        # legs union once with a leg tag; leg presence is a window
+        # min/max over the per-(query, doc) agg; and the RRF-vs-raw
+        # branch is a column expression, so each leg executes exactly
+        # once. Values are unchanged: rrf parts are w/(k+rank) summed
+        # per (query, doc) — sums of exactly two doubles are
+        # order-insensitive — single-leg rows keep their RAW leg score
+        # and ORIGINAL leg rank, and the fused rank orders on
+        # (rrf_score desc, doc_uid asc) exactly like rrf_fuse.
+        u = bm25.withColumn("leg", F.lit(0)).unionByName(
+            vec.withColumn("leg", F.lit(1))
         )
-        only_b = (
-            bm25.join(F.broadcast(qv), "query_id", "left_anti")
-            .filter(F.col("rank") <= n_results)
-            .select(
-                "query_id", "doc_uid",
-                F.col("leg_score").alias("score"), "rank",
-            )
+        g = u.groupBy("query_id", "doc_uid").agg(
+            F.sum(
+                F.lit(0.5)
+                / (F.lit(60.0) + F.col("rank").cast("double"))
+            ).alias("rrf_score"),
+            F.max("leg_score").alias("raw_score"),
+            F.min("rank").alias("min_rank"),
+            F.min("leg").alias("min_leg"),
+            F.max("leg").alias("max_leg"),
         )
-        only_v = (
-            vec.join(F.broadcast(qb), "query_id", "left_anti")
-            .filter(F.col("rank") <= n_results)
-            .select(
-                "query_id", "doc_uid",
-                F.col("leg_score").alias("score"), "rank",
-            )
+        wq = Window.partitionBy("query_id")
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("rrf_score"), F.asc("doc_uid")
         )
+        g = g.withColumn(
+            "both",
+            (F.min("min_leg").over(wq) == 0)
+            & (F.max("max_leg").over(wq) == 1),
+        ).withColumn("rrf_rank", F.row_number().over(wr))
         return (
-            fused.unionByName(only_b).unionByName(only_v)
+            g.filter(
+                F.when(
+                    F.col("both"), F.col("rrf_rank") <= n_results
+                ).otherwise(F.col("min_rank") <= n_results)
+            )
+            .select(
+                "query_id",
+                "doc_uid",
+                F.when(F.col("both"), F.col("rrf_score"))
+                .otherwise(F.col("raw_score"))
+                .alias("score"),
+                F.when(F.col("both"), F.col("rrf_rank"))
+                .otherwise(F.col("min_rank"))
+                .alias("rank"),
+            )
             .withColumn("distance", F.lit(1.0) - F.col("score"))
             .select("query_id", "doc_uid", "score", "distance", "rank")
         )
