@@ -555,3 +555,42 @@ def test_hash_split_agrees_with_sample_boundary(spark):
         .collect()
     }
     assert sample_ids == split_ids
+
+
+def test_ngram_stats_null_and_edge_parity(spark):
+    """r9: the n-gram counters moved to a vectorized pandas UDF —
+    pin the edge semantics of the old JVM folds: NULL text -> NULL
+    metrics, blank/short docs -> 0 counts and 0.0 fractions, n=1
+    legal for duplicate_ngram_count, unicode lowering matches."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, " \t\n "),
+        (3, "solo"),
+        (4, "a b a b a"),
+        (5, "ÅÄ åä ÅÄ"),           # unicode lowercase folding
+        (6, "x"),                   # fewer words than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["top"], r["dupc"], r["topf"], r["dupf"], r["dup1"]
+        )
+        for r in df.select(
+            "doc_id",
+            top_ngram_count(F.col("text"), 2).alias("top"),
+            duplicate_ngram_count(F.col("text"), 2).alias("dupc"),
+            top_ngram_fraction(F.col("text"), 2).alias("topf"),
+            duplicate_ngram_fraction(F.col("text"), 2).alias("dupf"),
+            duplicate_ngram_count(F.col("text"), 1).alias("dup1"),
+        ).collect()
+    }
+    assert got[0] == (None, None, None, None, None)
+    for d in (1, 2, 3, 6):
+        assert got[d][:4] == (0, 0, 0.0, 0.0), d
+    # "a b a b a": grams [a b, b a, a b, b a] -> top 2, dup 2
+    assert got[4] == (2, 2, 0.5, 0.5, 3)
+    # unicode: lowered grams ["åä åä", "åä åä"] -> top 2, dup 1
+    assert got[5] == (2, 1, 1.0, 0.5, 2)
+    # blank docs: n=1 dup count is 0, not null
+    assert got[1][4] == 0 and got[3][4] == 0
