@@ -267,39 +267,51 @@ def remove_repeated_spans(
     """
     _validate_span_params(span_tokens, min_docs)
     key = "gram_key" if hash_grams else "gram"
+    grams_expr = (
+        _gram_keys(F.col(text_col), span_tokens)
+        if hash_grams
+        else word_ngrams(F.col(text_col), span_tokens)
+    )
 
-    if hash_grams:
-        pos = docs.select(
+    # staging only pays off when the shingles are consumed TWICE
+    # (discovery + position join); with a precomputed keys frame
+    # discovery is skipped and they are consumed once — staging would
+    # be a pure corpus-plus-sized write for zero scan savings
+    # (review r8). r9: the staged frame holds the per-doc gram ARRAY
+    # (one row per document) instead of the posexploded (id, pos,
+    # key) rows — the same information in far fewer rows/bytes on
+    # disk, discovery becomes a map-side array_distinct + explode
+    # with partial aggregation (the exploded-row shape needed a full
+    # dropDuplicates shuffle first), and positions posexplode from
+    # the staged array on read (guide §2.3: aggregate before you
+    # shuffle / shuffle fewer bytes).
+    if positions_path is not None and keys is None:
+        docs.select(
+            F.col(id_col), grams_expr.alias("_grams")
+        ).write.mode("overwrite").parquet(positions_path)
+        staged = docs.sparkSession.read.parquet(positions_path)
+        pos = staged.select(
+            F.col(id_col), F.posexplode("_grams").alias("pos", key)
+        )
+        per_doc = staged.select(
             F.col(id_col),
-            F.posexplode(
-                _gram_keys(F.col(text_col), span_tokens)
-            ).alias("pos", "gram_key"),
+            F.explode(F.array_distinct("_grams")).alias(key),
+        )
+        if not unique_ids:
+            # duplicate-id inputs: distinct-id counting, like the
+            # pre-r9 staged discovery (dropDuplicates on (id, key))
+            per_doc = per_doc.dropDuplicates()
+        keys = (
+            per_doc.groupBy(key)
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
         )
     else:
         pos = docs.select(
             F.col(id_col),
-            F.posexplode(
-                word_ngrams(F.col(text_col), span_tokens)
-            ).alias("pos", "gram"),
+            F.posexplode(grams_expr).alias("pos", key),
         )
-    # staging only pays off when pos is consumed TWICE (discovery +
-    # position join); with a precomputed keys frame discovery is
-    # skipped and pos is consumed once — staging would be a pure
-    # corpus-plus-sized write for zero scan savings (review r8)
-    if positions_path is not None and keys is None:
-        pos.write.mode("overwrite").parquet(positions_path)
-        pos = docs.sparkSession.read.parquet(positions_path)
-
-    if keys is None:
-        if positions_path is not None:
-            keys = (
-                pos.select(id_col, key)
-                .dropDuplicates()
-                .groupBy(key)
-                .agg(F.count("*").alias("n_docs"))
-                .filter(F.col("n_docs") >= min_docs)
-            )
-        else:
+        if keys is None:
             keys = repeated_span_keys(
                 docs,
                 span_tokens=span_tokens,
@@ -309,14 +321,14 @@ def remove_repeated_spans(
                 hash_grams=hash_grams,
                 unique_ids=unique_ids,
             )
-    else:
-        if key not in keys.columns:
-            raise ValueError(
-                f"precomputed keys frame lacks the '{key}' column "
-                f"expected for hash_grams={hash_grams}; got "
-                f"{keys.columns}"
-            )
-        _check_keys_stamp(keys, span_tokens, hash_grams)
+        else:
+            if key not in keys.columns:
+                raise ValueError(
+                    f"precomputed keys frame lacks the '{key}' column "
+                    f"expected for hash_grams={hash_grams}; got "
+                    f"{keys.columns}"
+                )
+            _check_keys_stamp(keys, span_tokens, hash_grams)
     # non-repeated positions die here; only boilerplate rows shuffle
     hits = (
         pos.join(keys.select(key), key)
