@@ -91,17 +91,24 @@ def round_half_up(x: float, r: int) -> float:
     ) + 0.0  # canonicalize IEEE -0.0
 
 
-class _Cursor:
-    """One (term, segment) posting list with block-skip support."""
+class _TermData:
+    """Per-(term, segment) posting-list metadata and decoded-block
+    cache, parsed ONCE from the Arrow row and shared by every query's
+    cursor in a (segment, query-group) task (r9): the pre-r9 _Cursor
+    re-converted every block's metadata Row to a dict and re-decoded
+    every visited block PER QUERY — for a 32-query batch over a hot
+    term that was 32x the parse work and up to 32x the varint
+    decodes. Block upper bounds are stored weight-free
+    (``base_ubs``); a cursor's bounds are ``idf_w * base_ubs``, a
+    1-ulp association change that only feeds the conservative
+    epsilon-margined pruning tests, never a final score."""
 
     __slots__ = (
         "doc_b", "tf_b", "dl_b", "first", "n", "max_tf", "min_dl",
-        "d_off", "t_off", "l_off", "weight", "k1", "b", "avgdl",
-        "bi", "pos", "docs", "tfs", "dls", "cur", "global_ub", "ubs",
-        "nblocks",
+        "d_off", "t_off", "l_off", "nblocks", "base_ubs", "_blocks",
     )
 
-    def __init__(self, row, idf_w: float, k1: float, b: float, avgdl: float):
+    def __init__(self, row, k1: float, b: float, avgdl: float):
         self.doc_b = bytes(row.doc_bytes)
         self.tf_b = bytes(row.tf_bytes)
         self.dl_b = bytes(row.dl_bytes)
@@ -120,12 +127,54 @@ class _Cursor:
             [x["dl_off"] for x in blocks] + [len(self.dl_b)], dtype=np.int64
         )
         self.nblocks = len(blocks)
+        denom = self.max_tf + k1 * (1.0 - b + b * self.min_dl / avgdl)
+        self.base_ubs = (
+            (self.max_tf * (k1 + 1.0)) / denom / np.sqrt(self.min_dl)
+        )
+        self._blocks: dict = {}
+
+    def block(self, bi: int):
+        blk = self._blocks.get(bi)
+        if blk is None:
+            from bm25_chroma_spark.index.encode import _docs_from_deltas
+
+            deltas = varint_decode(
+                self.doc_b[self.d_off[bi]:self.d_off[bi + 1]]
+            )
+            blk = (
+                _docs_from_deltas(int(self.first[bi]), deltas),
+                varint_decode(
+                    self.tf_b[self.t_off[bi]:self.t_off[bi + 1]]
+                ).astype(np.float64),
+                varint_decode(
+                    self.dl_b[self.l_off[bi]:self.l_off[bi + 1]]
+                ).astype(np.float64),
+            )
+            self._blocks[bi] = blk
+        return blk
+
+
+class _Cursor:
+    """One query's view over a (term, segment) posting list with
+    block-skip support. Accepts either a shard Arrow row (parsed into
+    a fresh _TermData — the test/compat path) or a shared _TermData."""
+
+    __slots__ = (
+        "td", "weight", "k1", "b", "avgdl",
+        "bi", "pos", "docs", "tfs", "dls", "cur", "global_ub", "ubs",
+        "nblocks", "first",
+    )
+
+    def __init__(self, row, idf_w: float, k1: float, b: float, avgdl: float):
+        td = row if isinstance(row, _TermData) else _TermData(
+            row, k1, b, avgdl
+        )
+        self.td = td
+        self.first = td.first
+        self.nblocks = td.nblocks
         self.weight = idf_w  # idf * qtf
         self.k1, self.b, self.avgdl = k1, b, avgdl
-        denom = self.max_tf + k1 * (1.0 - b + b * self.min_dl / avgdl)
-        self.ubs = (
-            idf_w * (self.max_tf * (k1 + 1.0)) / denom / np.sqrt(self.min_dl)
-        )
+        self.ubs = idf_w * td.base_ubs
         self.global_ub = float(self.ubs.max()) if self.nblocks else 0.0
         self.bi = -1
         self._load_block(0)
@@ -135,18 +184,7 @@ class _Cursor:
             self.cur = math.inf
             return
         self.bi = bi
-        deltas = varint_decode(
-            self.doc_b[self.d_off[bi]:self.d_off[bi + 1]]
-        )
-        from bm25_chroma_spark.index.encode import _docs_from_deltas
-
-        self.docs = _docs_from_deltas(int(self.first[bi]), deltas)
-        self.tfs = varint_decode(
-            self.tf_b[self.t_off[bi]:self.t_off[bi + 1]]
-        ).astype(np.float64)
-        self.dls = varint_decode(
-            self.dl_b[self.l_off[bi]:self.l_off[bi + 1]]
-        ).astype(np.float64)
+        self.docs, self.tfs, self.dls = self.td.block(bi)
         self.pos = 0
         self.cur = int(self.docs[0])
 
@@ -219,10 +257,54 @@ def _bmw_topk(
     heap: List[tuple] = []  # (score, -doc_id) min-heap of current top-k
     slack = 0.5 * 10.0 ** (-score_round) if score_round is not None else 0.0
 
-    def theta() -> float:
-        return (heap[0][0] - slack) if len(heap) >= top_k else -math.inf
+    # --- seed a pruning floor (r9) ---------------------------------
+    # Until the heap holds top_k entries theta is -inf and the loop
+    # degenerates to doc-at-a-time scoring from doc 0 — on a hot-list
+    # query whose high scorers are sparse (the anchored bench regime)
+    # that scanned ~a third of every segment before pruning engaged
+    # (measured: ~400 ms per (query, segment), the entire wand_1m
+    # cost). Fully score the first top_k docs of the highest-bound
+    # cursor on CLONED cursors and use the kth best (minus the same
+    # rounding slack theta applies) as a floor: any doc pruned by the
+    # floor scores strictly below >= top_k docs that the main loop
+    # itself will score exactly, so the result set is unchanged — the
+    # same conservative-margin argument as heap theta. Seeding costs
+    # top_k full score computations; it never ADDS heap entries, so
+    # no doc is double-counted.
+    seed_floor = -math.inf
+    live0 = [c for c in cursors if c.cur != math.inf]
+    if len(live0) >= 1 and top_k > 0:
+        lead = max(live0, key=lambda c: c.global_ub)
+        clones = [
+            _Cursor(c.td, c.weight, c.k1, c.b, c.avgdl)
+            for c in cursors
+            if c is not lead and c.cur != math.inf
+        ]
+        lead_clone = _Cursor(
+            lead.td, lead.weight, lead.k1, lead.b, lead.avgdl
+        )
+        seed_scores: List[float] = []
+        for _ in range(top_k):
+            if lead_clone.cur == math.inf:
+                break
+            d0 = lead_clone.cur
+            s0 = lead_clone.score_current()
+            for c in clones:
+                c.next_geq(d0)
+                if c.cur == d0:
+                    s0 += c.score_current()
+            if score_round is not None:
+                s0 = round_half_up(s0, score_round)
+            seed_scores.append(s0)
+            lead_clone.advance()
+        if len(seed_scores) >= top_k:
+            seed_floor = min(seed_scores) - slack
 
-    live = [c for c in cursors if c.cur != math.inf]
+    def theta() -> float:
+        t = (heap[0][0] - slack) if len(heap) >= top_k else -math.inf
+        return t if t >= seed_floor else seed_floor
+
+    live = live0
     while live:
         live.sort(key=lambda c: c.cur)
         # pivot: smallest p with cumulative global ub above threshold
@@ -504,16 +586,22 @@ def _run_local_daat(
         for r in rows:
             seg_rows[(t, r.segment)] = r
             segments.add(r.segment)
+    tds: dict = {}  # (term, segment) -> _TermData, shared per call
     out_rows: List[tuple] = []
     for qid, terms_w in sorted(by_qid.items()):
         cand: List[tuple] = []
         for seg in sorted(segments):
             cursors = []
             for term, w in terms_w:
-                r = seg_rows.get((term, seg))
-                if r is None or len(r.blocks) == 0:
-                    continue
-                cursors.append(_Cursor(r, w, cfg.k1, cfg.b, avgdl))
+                td = tds.get((term, seg))
+                if td is None:
+                    r = seg_rows.get((term, seg))
+                    if r is None or len(r.blocks) == 0:
+                        continue
+                    td = tds[(term, seg)] = _TermData(
+                        r, cfg.k1, cfg.b, avgdl
+                    )
+                cursors.append(_Cursor(td, w, cfg.k1, cfg.b, avgdl))
             if cursors:
                 cand.extend(_bmw_topk(cursors, top_k, score_round))
         cand.sort(key=lambda ds: (-ds[1], ds[0]))
@@ -887,16 +975,20 @@ def search_sharded(
         def run_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
             qg = int(pdf["qgroup"].iloc[0])
             rows = {r.term: r for r in pdf.itertuples(index=False)}
+            tds: dict = {}  # term -> _TermData, shared across queries
             qids: List[int] = []
             dids: List[int] = []
             scores: List[float] = []
             for qid, terms_w in qspec[qg::n_qg]:
                 cursors = []
                 for term, w in terms_w:
-                    r = rows.get(term)
-                    if r is None or len(r.blocks) == 0:
-                        continue
-                    cursors.append(_Cursor(r, w, k1, b, avgdl))
+                    td = tds.get(term)
+                    if td is None:
+                        r = rows.get(term)
+                        if r is None or len(r.blocks) == 0:
+                            continue
+                        td = tds[term] = _TermData(r, k1, b, avgdl)
+                    cursors.append(_Cursor(td, w, k1, b, avgdl))
                 for d, s in _bmw_topk(cursors, top_k, score_round):
                     qids.append(qid)
                     dids.append(d)
