@@ -371,6 +371,133 @@ def _bmw_topk(
     return out
 
 
+def _score_group_vectorized(
+    rows: dict,
+    my_queries,
+    k1: float,
+    b: float,
+    avgdl: float,
+    top_k: int,
+    margin: float,
+):
+    """Whole-posting-list numpy scoring for one (segment, query-group)
+    task — the shared scorer of the vectorized exhaustive engine and
+    the WAND engine's degenerate-query fallback (r9). Decodes each
+    needed (term, segment) once, accumulates per-doc scores over a
+    shared sorted doc universe, and emits each segment's top-k with a
+    conservative rounding ``margin`` (an omitted doc scores strictly
+    below >= top_k emitted docs even after rounding). Contribution
+    factors multiply in _Cursor.score_current's exact association
+    order — (w * num) / denom / sqrt(dl) — so single-term
+    contributions are bit-identical to the DAAT engines. Returns a
+    list of pandas DataFrames (query_id, doc_id, score)."""
+    from bm25_chroma_spark.index.encode import decode_all
+
+    need = sorted(
+        {
+            t
+            for _, tw in my_queries
+            for t, _ in tw
+            if t in rows and len(rows[t].blocks) > 0
+        }
+    )
+    out_frames: list = []
+    if not need:
+        return out_frames
+    dec = {}
+    for t in need:
+        r = rows[t]
+        d, tf, dl = decode_all(
+            bytes(r.doc_bytes),
+            bytes(r.tf_bytes),
+            bytes(r.dl_bytes),
+            [dict(x) for x in r.blocks],
+        )
+        tf = tf.astype(np.float64)
+        dl = dl.astype(np.float64)
+        dec[t] = (
+            d,
+            tf * (k1 + 1.0),
+            tf + k1 * (1.0 - b + b * dl / avgdl),
+            np.sqrt(dl),
+        )
+    universe = np.unique(np.concatenate([dec[t][0] for t in need]))
+    pos = {t: np.searchsorted(universe, dec[t][0]) for t in need}
+    scores = np.zeros(len(universe))
+    matched = np.zeros(len(universe), dtype=bool)
+    for qid, terms_w in my_queries:
+        pres = [(t, w) for t, w in terms_w if t in dec]
+        if not pres:
+            continue
+        scores[:] = 0.0
+        matched[:] = False
+        for t, w in pres:
+            ix = pos[t]
+            _, num, dnm, sq = dec[t]
+            scores[ix] += w * num / dnm / sq
+            matched[ix] = True
+        mdocs = universe[matched]
+        ms = scores[matched]
+        if len(ms) > top_k:
+            kth = np.partition(ms, len(ms) - top_k)[len(ms) - top_k]
+            keep = ms >= kth - margin
+            mdocs = mdocs[keep]
+            ms = ms[keep]
+            if margin == 0.0 and len(ms) > top_k:
+                order = np.lexsort((mdocs, -ms))[:top_k]
+                mdocs = mdocs[order]
+                ms = ms[order]
+        out_frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(mdocs), qid, dtype=np.int64),
+                    "doc_id": mdocs,
+                    "score": ms,
+                }
+            )
+        )
+    return out_frames
+
+
+def _daat_functional_qids(
+    by_qid: dict,
+    df_by_term: dict,
+    n: float,
+    top_k: int,
+    n_segments: int,
+) -> set:
+    """Queries for which Block-Max pruning can FUNCTION at all: a
+    strong anchor that fills every segment's top-k by itself and
+    bounds that discriminate (the structural (a)/(b) conditions of
+    _wand_vote_qids, without its cost-ratio term). The explicit
+    ``strategy='wand'`` engine runs the Python DAAT for these and
+    falls back to the shared vectorized scorer for the rest — on a
+    bounds-degenerate query (e.g. all-hot flat queries) the DAAT
+    provably cannot skip anything and was measured at ~2 us/doc vs
+    ~20 ns/doc vectorized (bench wand_mixed: the flat half cost 14 s
+    through the DAAT, ~1 s vectorized). Results are identical either
+    way (engine-equality fuzzers)."""
+
+    def idf(df_t: float) -> float:
+        return math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+    out: set = set()
+    for qid, terms_w in by_qid.items():
+        dfs = [df_by_term.get(t, 0) for t, _ in terms_w]
+        pairs = [(idf(d), d) for d in dfs if d > 0]
+        if not pairs:
+            continue
+        best_idf, best_df = max(pairs)
+        worst_idf = min(i for i, _ in pairs)
+        if (
+            best_idf >= 1.0
+            and best_df >= 3 * top_k * max(n_segments, 1)
+            and worst_idf <= best_idf / 10.0
+        ):
+            out.add(qid)
+    return out
+
+
 # Measured per-element cost ratio between the Python Block-Max DAAT
 # and the r9 vectorized numpy exhaustive engine. r9 measurement at the
 # 1M-doc anchored regime (32 queries, anchor df 500, 3 hot terms
@@ -850,86 +977,12 @@ def search_sharded(
         )
 
         def score_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            from bm25_chroma_spark.index.encode import decode_all
-
             qg = int(pdf["qgroup"].iloc[0])
             rows = {r.term: r for r in pdf.itertuples(index=False)}
             my_queries = qspec[qg::n_qg]
-            need = sorted(
-                {
-                    t
-                    for _, tw in my_queries
-                    for t, _ in tw
-                    if t in rows and len(rows[t].blocks) > 0
-                }
+            out_frames = _score_group_vectorized(
+                rows, my_queries, k1, b, avgdl, top_k, margin
             )
-            out_frames = []
-            if need:
-                dec = {}
-                for t in need:
-                    r = rows[t]
-                    d, tf, dl = decode_all(
-                        bytes(r.doc_bytes),
-                        bytes(r.tf_bytes),
-                        bytes(r.dl_bytes),
-                        [dict(x) for x in r.blocks],
-                    )
-                    tf = tf.astype(np.float64)
-                    dl = dl.astype(np.float64)
-                    # factors kept separate so the per-query multiply
-                    # below applies them in _Cursor.score_current's
-                    # exact association order — (w * num) / denom /
-                    # sqrt(dl) — keeping single-term contributions
-                    # bit-identical to the DAAT engines
-                    dec[t] = (
-                        d,
-                        tf * (k1 + 1.0),
-                        tf + k1 * (1.0 - b + b * dl / avgdl),
-                        np.sqrt(dl),
-                    )
-                universe = np.unique(
-                    np.concatenate([dec[t][0] for t in need])
-                )
-                pos = {
-                    t: np.searchsorted(universe, dec[t][0]) for t in need
-                }
-                scores = np.zeros(len(universe))
-                matched = np.zeros(len(universe), dtype=bool)
-                for qid, terms_w in my_queries:
-                    pres = [(t, w) for t, w in terms_w if t in dec]
-                    if not pres:
-                        continue
-                    scores[:] = 0.0
-                    matched[:] = False
-                    for t, w in pres:
-                        ix = pos[t]
-                        _, num, dnm, sq = dec[t]
-                        scores[ix] += w * num / dnm / sq
-                        matched[ix] = True
-                    mdocs = universe[matched]
-                    ms = scores[matched]
-                    if len(ms) > top_k:
-                        kth = np.partition(ms, len(ms) - top_k)[
-                            len(ms) - top_k
-                        ]
-                        keep = ms >= kth - margin
-                        mdocs = mdocs[keep]
-                        ms = ms[keep]
-                        if margin == 0.0 and len(ms) > top_k:
-                            order = np.lexsort((mdocs, -ms))[:top_k]
-                            mdocs = mdocs[order]
-                            ms = ms[order]
-                    out_frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": np.full(
-                                    len(mdocs), qid, dtype=np.int64
-                                ),
-                                "doc_id": mdocs,
-                                "score": ms,
-                            }
-                        )
-                    )
             if not out_frames:
                 return pd.DataFrame(
                     {
@@ -971,15 +1024,31 @@ def search_sharded(
             return _empty_results_df(spark)
         qspec, n_qg, seg_shards = scaffold
         k1, b = cfg.k1, cfg.b
+        # bounds-degenerate queries (no top-k-filling anchor / flat
+        # bounds) provably gain nothing from block skipping — the
+        # DAAT walks every posting at Python speed. Route them to the
+        # shared vectorized scorer INSIDE the same task; the DAAT
+        # runs only where Block-Max pruning can function (r9).
+        daat_qids = _daat_functional_qids(
+            dict(qspec), df_map_all, n, top_k, cfg.salt_factor
+        )
+        margin = (
+            10.0 ** (-score_round) * 1.000001
+            if score_round is not None
+            else 0.0
+        )
 
         def run_segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
             qg = int(pdf["qgroup"].iloc[0])
             rows = {r.term: r for r in pdf.itertuples(index=False)}
+            my_queries = qspec[qg::n_qg]
             tds: dict = {}  # term -> _TermData, shared across queries
             qids: List[int] = []
             dids: List[int] = []
             scores: List[float] = []
-            for qid, terms_w in qspec[qg::n_qg]:
+            for qid, terms_w in my_queries:
+                if qid not in daat_qids:
+                    continue
                 cursors = []
                 for term, w in terms_w:
                     td = tds.get(term)
@@ -993,13 +1062,25 @@ def search_sharded(
                     qids.append(qid)
                     dids.append(d)
                     scores.append(s)
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(qids, dtype="int64"),
-                    "doc_id": pd.Series(dids, dtype="int64"),
-                    "score": pd.Series(scores, dtype="float64"),
-                }
-            )
+            frames = [
+                pd.DataFrame(
+                    {
+                        "query_id": pd.Series(qids, dtype="int64"),
+                        "doc_id": pd.Series(dids, dtype="int64"),
+                        "score": pd.Series(scores, dtype="float64"),
+                    }
+                )
+            ]
+            flat_queries = [
+                qt for qt in my_queries if qt[0] not in daat_qids
+            ]
+            if flat_queries:
+                frames.extend(
+                    _score_group_vectorized(
+                        rows, flat_queries, k1, b, avgdl, top_k, margin
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
 
         candidates = seg_shards.groupBy("segment", "qgroup").applyInPandas(
             run_segment_group,
