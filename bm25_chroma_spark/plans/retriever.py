@@ -42,6 +42,7 @@ from collections import OrderedDict
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
+import pandas as pd
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -478,16 +479,34 @@ class SparkHybridRetriever:
             _json.dumps(m) if m is not None else None
             for m in (metadatas or [None] * len(documents))
         ]
+        # Arrow-backed local relations (r9): plain-list createDataFrame
+        # pickles every row through the legacy path; a pandas frame
+        # ships as Arrow batches (guide §6 "Arrow for driver
+        # transfers") — same rows, same schema
         batch = self.spark.createDataFrame(
-            list(zip(doc_ids, documents, metas)),
-            "doc_uid string, text string, meta_json string",
+            pd.DataFrame(
+                {
+                    "doc_uid": pd.Series(doc_ids, dtype=object),
+                    "text": pd.Series(documents, dtype=object),
+                    "meta_json": pd.Series(metas, dtype=object),
+                }
+            ),
+            schema="doc_uid string, text string, meta_json string",
         ).withColumn("deleted", F.lit(False))
         batch.write.mode("overwrite").parquet(str(self._next_gen("corpus")))
 
         vecs = self.embed(documents)
         self.spark.createDataFrame(
-            list(zip(doc_ids, [[float(x) for x in v] for v in vecs])),
-            "doc_uid string, embedding array<double>",
+            pd.DataFrame(
+                {
+                    "doc_uid": pd.Series(doc_ids, dtype=object),
+                    "embedding": pd.Series(
+                        [[float(x) for x in v] for v in vecs],
+                        dtype=object,
+                    ),
+                }
+            ),
+            schema="doc_uid string, embedding array<double>",
         ).write.mode("overwrite").parquet(str(self._next_gen("vectors")))
 
         docs_long = batch.select(
@@ -1261,8 +1280,7 @@ class SparkHybridRetriever:
             ).collect()
         ]
         top_k = n_results * 2
-        leg_ddl = "query_id long, doc_uid string, leg_score double, rank int"
-        empty = self.spark.createDataFrame([], leg_ddl)
+        legs = []
 
         if self._index is not None and qrows:
             res = search_sharded(
@@ -1270,21 +1288,13 @@ class SparkHybridRetriever:
                 strategy=self.bm25_strategy,
                 score_round=score_round,
             )
-            # broadcast the RESULT side when bounded: it is |Q|*top_k
-            # rows by contract but Catalyst has no size estimate for
-            # a windowed result and would sort-merge join the
-            # corpus-sized uid map (same reasoning as search_bm25).
-            # For huge offline batches (|Q|*top_k beyond the
-            # broadcast-safe bound) keep the shuffle join — a 1M-query
-            # evaluation must not collect 200M leg rows to the driver.
-            if len(qrows) * top_k <= self._QDF_BROADCAST_ROWS:
-                res = F.broadcast(res)
-            bm25 = res.join(self._uid_map(), "doc_id").select(
-                "query_id", "doc_uid",
-                F.col("score").alias("leg_score"), "rank",
+            legs.append(
+                res.select(
+                    "query_id", "doc_id",
+                    F.col("score").alias("leg_score"), "rank",
+                    F.lit(0).alias("leg"),
+                )
             )
-        else:
-            bm25 = empty
 
         vecs = self.vectors_df()
         if qrows and not vecs.isEmpty():
@@ -1325,33 +1335,52 @@ class SparkHybridRetriever:
                     vec_col="embedding",
                     score_round=score_round,
                 )
-            uid = self._uid_map().withColumnRenamed("doc_id", "vec_id")
-            # bounded-size broadcast of the result side (bm25 leg note)
-            if len(qrows) * top_k <= self._QDF_BROADCAST_ROWS:
-                resv = F.broadcast(resv)
-            vec = resv.join(uid, "vec_id").select(
-                "query_id", "doc_uid",
-                F.col("sim").alias("leg_score"), "rank",
+            legs.append(
+                resv.select(
+                    "query_id",
+                    F.col("vec_id").alias("doc_id"),
+                    F.col("sim").alias("leg_score"), "rank",
+                    F.lit(1).alias("leg"),
+                )
             )
-        else:
-            vec = empty
 
         # per-query leg presence drives the reference's fallback:
         # both legs -> RRF; one leg -> that leg's RAW scores.
         # ONE-PASS fusion (r9, guide §2.4): the pre-r9 shape derived
         # per-query leg presence from two distinct() sets joined back
         # into the legs plus two anti-joins — each leg SUBTREE (search
-        # + uid-map join) appeared three times in the plan. Here both
-        # legs union once with a leg tag; leg presence is a window
-        # min/max over the per-(query, doc) agg; and the RRF-vs-raw
-        # branch is a column expression, so each leg executes exactly
-        # once. Values are unchanged: rrf parts are w/(k+rank) summed
-        # per (query, doc) — sums of exactly two doubles are
-        # order-insensitive — single-leg rows keep their RAW leg score
-        # and ORIGINAL leg rank, and the fused rank orders on
-        # (rrf_score desc, doc_uid asc) exactly like rrf_fuse.
-        u = bm25.withColumn("leg", F.lit(0)).unionByName(
-            vec.withColumn("leg", F.lit(1))
+        # + uid-map join) appeared three times in the plan. Here the
+        # legs union once ON INTERNAL IDS with a leg tag, the
+        # corpus-sized uid map joins exactly ONCE against the bounded
+        # union (the pre-r9 shape scanned and joined it once per leg),
+        # leg presence is a window min/max over the per-(query, doc)
+        # agg, and the RRF-vs-raw branch is a column expression — so
+        # each leg and the uid map execute exactly once. Values are
+        # unchanged: rrf parts are w/(k+rank) summed per (query, doc)
+        # — sums of exactly two doubles are order-insensitive —
+        # single-leg rows keep their RAW leg score and ORIGINAL leg
+        # rank, and the fused rank orders on (rrf_score desc,
+        # doc_uid asc) exactly like rrf_fuse.
+        if not legs:
+            return self.spark.createDataFrame(
+                [],
+                "query_id long, doc_uid string, score double, "
+                "distance double, rank int",
+            )
+        u = legs[0]
+        for p in legs[1:]:
+            u = u.unionByName(p)
+        # broadcast the RESULT side when bounded: it is at most
+        # |legs|*|Q|*top_k rows by contract but Catalyst has no size
+        # estimate for a windowed result and would sort-merge join
+        # the corpus-sized uid map (same reasoning as search_bm25).
+        # For huge offline batches beyond the broadcast-safe bound
+        # keep the shuffle join — a 1M-query evaluation must not
+        # collect 200M leg rows to the driver.
+        if len(legs) * len(qrows) * top_k <= self._QDF_BROADCAST_ROWS:
+            u = F.broadcast(u)
+        u = u.join(self._uid_map(), "doc_id").select(
+            "query_id", "doc_uid", "leg_score", "rank", "leg"
         )
         g = u.groupBy("query_id", "doc_uid").agg(
             F.sum(
