@@ -1153,8 +1153,24 @@ class SparkHybridRetriever:
             query_texts = [query_texts]
         include = include or ["documents", "metadatas", "distances"]
 
-        bm25_lists = self._bm25_lists(query_texts, n_results * 2)
-        vector_lists = self._vector_lists(query_texts, n_results * 2)
+        # the legs are independent job sets — overlap them from two
+        # driver threads so one leg's scheduling tail back-fills the
+        # other's idle executors (guide §2.6); wall-clock becomes
+        # max(leg) instead of sum. The warm-cache validation runs
+        # ONCE up front so neither thread clears driver caches while
+        # the other iterates them.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._warm_caches()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_b = pool.submit(
+                self._bm25_lists, query_texts, n_results * 2
+            )
+            f_v = pool.submit(
+                self._vector_lists, query_texts, n_results * 2
+            )
+            bm25_lists = f_b.result()
+            vector_lists = f_v.result()
 
         fused_all: List[List[Tuple[str, float]]] = []
         for bm25_results, vector_results in zip(bm25_lists, vector_lists):
