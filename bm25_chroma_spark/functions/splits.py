@@ -166,7 +166,16 @@ def stratified_sample_df(
     import pandas as pd
 
     def _bound_fn(rate):
-        return rate.astype(float).map(fraction_bound)
+        def check(r: float) -> str:
+            if not 0.0 <= r <= 1.0:
+                raise ValueError(
+                    f"stratified_sample_df: rate {r!r} in rates_df is "
+                    "outside [0, 1] — rates are keep-fractions, like "
+                    "the dict variant validates"
+                )
+            return fraction_bound(r)
+
+        return rate.astype(float).map(check)
 
     # real annotation objects: the module's `from __future__ import
     # annotations` would stringify inline hints, and pandas is a
@@ -174,11 +183,15 @@ def stratified_sample_df(
     _bound_fn.__annotations__ = {"rate": pd.Series, "return": pd.Series}
     _bound = pandas_udf(T.StringType())(_bound_fn)
 
+    # dropDuplicates on the group column: duplicate group rows in a
+    # user-supplied rate table would otherwise fan the left join out
+    # and silently DUPLICATE corpus rows (ADVICE r8). Mirrors
+    # filter_blocked_domains' blocklist dedup.
     bounds = F.broadcast(
         rates_df.select(
             F.col(group_col).alias("__ss_grp"),
             _bound(F.col("rate").cast("double")).alias("__ss_bound"),
-        )
+        ).dropDuplicates(["__ss_grp"])
     )
     h = _digest(F.col(id_col), salt)
     joined = df.join(bounds, df[group_col] == bounds["__ss_grp"], "left")

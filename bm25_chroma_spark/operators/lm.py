@@ -287,6 +287,16 @@ def lm_buckets(
     cuts = scored.filter(F.col(score_col).isNotNull()).approxQuantile(
         score_col, qs, relative_error
     )
+    if not cuts:
+        # approxQuantile over zero non-null scores returns [] (e.g.
+        # an all-blank corpus) — the when-chain below would be None
+        # and crash with an opaque AttributeError (ADVICE r8). Every
+        # doc either has a NULL score (bucket NULL, like always) or
+        # there are no rows at all, so a NULL bucket column is the
+        # consistent answer.
+        return scored.withColumn(
+            bucket_col, F.lit(None).cast("int")
+        )
     expr = None
     # cuts ascend; bucket 0 is the TOP tercile -> compare descending
     for i, cut in enumerate(reversed(cuts)):

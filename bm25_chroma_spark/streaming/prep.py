@@ -75,6 +75,15 @@ def stream_prep_corpus(
     from pyspark.sql import functions as F
 
     opts = opts or PrepOptions()
+    if blocklist is not None and not opts.blocklist_rule:
+        # couple the flag to the frame exactly like the batch CLI
+        # (prep_corpus sets blocklist_rule=bool(args.blocklist)):
+        # without this, the domain_blocked flag was computed, then
+        # annotate_docs dropped it and no rule counted it — blocked
+        # docs were silently KEPT (ADVICE r8)
+        import dataclasses
+
+        opts = dataclasses.replace(opts, blocklist_rule=True)
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     report: Dict[str, int] = {}
 

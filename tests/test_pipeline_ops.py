@@ -362,10 +362,16 @@ def test_stratified_sample_df_matches_dict_variant(spark):
         sorted(r["doc_id"] for r in via_dict.collect())
     assert via_df.columns == df.columns  # helper cols dropped
     # rate table rides a broadcast join; the corpus side must not
-    # shuffle (no hash-partitioning Exchange)
+    # shuffle. The r9 rate-table dedup (duplicate group rows would
+    # silently fan out corpus rows, ADVICE r8) adds one exchange on
+    # the CONFIG-SIZED rate side, keyed by its helper column — any
+    # hash-partitioning on a corpus column stays forbidden.
+    import re
+
     plan = via_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__ss_grp" in keys, f"corpus-side shuffle: {keys}"
 
 
 def _spark_words_model(text: str) -> list[str]:
