@@ -211,42 +211,117 @@ def score_lm(
     more like the training corpus; CCNet keeps the head/middle of
     this distribution). Blank docs get n_tokens 0 and NULL score.
 
-    ``broadcast_model=True`` (default) hints all three model joins —
-    correct whenever the model was pruned to fit (the normal case);
-    pass False for an unpruned corpus-sized model to let AQE pick
+    ``broadcast_model=True`` (default) collects the pruned model once
+    and scores through TWO broadcast joins (bigram ratios precomputed
+    driver-side, bit-identically) — correct whenever the model was
+    pruned to fit (the normal case); pass False for an unpruned
+    corpus-sized model to keep all three joins lazy and let AQE pick
     sort-merge joins instead."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     if lm.n_tokens <= 0:
         raise ValueError("model has no training tokens")
     n = float(lm.n_tokens)
-    hint = F.broadcast if broadcast_model else (lambda d: d)
-    uni_ctx = hint(lm.unigrams.select(
-        F.col("term").alias("__c_term"), F.col("count").alias("__c_cnt")))
-    uni_word = hint(lm.unigrams.select(
-        F.col("term").alias("__w_term"), F.col("count").alias("__w_cnt")))
-    big = hint(lm.bigrams.select(
-        F.col("w1").alias("__b_w1"), F.col("w2").alias("__b_w2"),
-        F.col("count").alias("__b_cnt")))
-
     pairs = _token_pairs(docs, id_col, text_col)
-    joined = (
-        pairs
-        .join(big, (pairs["w1"] == big["__b_w1"]) & (pairs["w2"] == big["__b_w2"]), "left")
-        .join(uni_ctx, pairs["w1"] == uni_ctx["__c_term"], "left")
-        .join(uni_word, pairs["w2"] == uni_word["__w_term"], "left")
-    )
-    s1 = F.coalesce(
-        F.col("__w_cnt").cast("double") / F.lit(n), F.lit(alpha / n)
-    )
-    s = (
-        F.when(F.col("w1").isNull(), s1)  # first token: no context
-        .when(
-            F.col("__b_cnt").isNotNull() & F.col("__c_cnt").isNotNull(),
-            F.col("__b_cnt").cast("double") / F.col("__c_cnt").cast("double"),
+    if broadcast_model:
+        # Pruned-model fast path (r9, guide §3.1): the model fits by
+        # contract, so collect it once and precompute the bigram's
+        # Stupid-Backoff ratio count(w1,w2)/count(w1) DRIVER-side —
+        # float(b)/float(c) on exact ints is the bit-identical IEEE
+        # division the old per-row JVM expression performed — turning
+        # the scoring stream's THREE broadcast joins into TWO (the
+        # context-count join disappears). A bigram whose context
+        # word is absent from the unigram table (impossible for
+        # train_word_lm models, possible for hand-built ones) emits
+        # no ratio row, which reproduces the old NULL-context
+        # backoff branch exactly.
+        import pandas as _pd
+
+        spark = docs.sparkSession
+        cnt = {
+            r["term"]: int(r["count"]) for r in lm.unigrams.collect()
+        }
+        big_rows = [
+            (r["w1"], r["w2"], float(int(r["count"])) / float(cnt[r["w1"]]))
+            for r in lm.bigrams.collect()
+            if r["w1"] in cnt
+        ]
+        big = F.broadcast(
+            spark.createDataFrame(
+                _pd.DataFrame(
+                    big_rows, columns=["__b_w1", "__b_w2", "__b_ratio"]
+                )
+                if big_rows
+                else _pd.DataFrame(
+                    {
+                        "__b_w1": _pd.Series([], dtype=object),
+                        "__b_w2": _pd.Series([], dtype=object),
+                        "__b_ratio": _pd.Series([], dtype="float64"),
+                    }
+                ),
+                schema="__b_w1 string, __b_w2 string, __b_ratio double",
+            )
         )
-        .otherwise(F.lit(alpha) * s1)
-    )
+        uni_word = F.broadcast(
+            spark.createDataFrame(
+                _pd.DataFrame(
+                    [(t, c) for t, c in sorted(cnt.items())],
+                    columns=["__w_term", "__w_cnt"],
+                )
+                if cnt
+                else _pd.DataFrame(
+                    {
+                        "__w_term": _pd.Series([], dtype=object),
+                        "__w_cnt": _pd.Series([], dtype="int64"),
+                    }
+                ),
+                schema="__w_term string, __w_cnt long",
+            )
+        )
+        joined = (
+            pairs
+            .join(
+                big,
+                (pairs["w1"] == big["__b_w1"])
+                & (pairs["w2"] == big["__b_w2"]),
+                "left",
+            )
+            .join(uni_word, pairs["w2"] == uni_word["__w_term"], "left")
+        )
+        s1 = F.coalesce(
+            F.col("__w_cnt").cast("double") / F.lit(n), F.lit(alpha / n)
+        )
+        s = (
+            F.when(F.col("w1").isNull(), s1)  # first token: no context
+            .when(F.col("__b_ratio").isNotNull(), F.col("__b_ratio"))
+            .otherwise(F.lit(alpha) * s1)
+        )
+    else:
+        uni_ctx = lm.unigrams.select(
+            F.col("term").alias("__c_term"), F.col("count").alias("__c_cnt"))
+        uni_word = lm.unigrams.select(
+            F.col("term").alias("__w_term"), F.col("count").alias("__w_cnt"))
+        big = lm.bigrams.select(
+            F.col("w1").alias("__b_w1"), F.col("w2").alias("__b_w2"),
+            F.col("count").alias("__b_cnt"))
+
+        joined = (
+            pairs
+            .join(big, (pairs["w1"] == big["__b_w1"]) & (pairs["w2"] == big["__b_w2"]), "left")
+            .join(uni_ctx, pairs["w1"] == uni_ctx["__c_term"], "left")
+            .join(uni_word, pairs["w2"] == uni_word["__w_term"], "left")
+        )
+        s1 = F.coalesce(
+            F.col("__w_cnt").cast("double") / F.lit(n), F.lit(alpha / n)
+        )
+        s = (
+            F.when(F.col("w1").isNull(), s1)  # first token: no context
+            .when(
+                F.col("__b_cnt").isNotNull() & F.col("__c_cnt").isNotNull(),
+                F.col("__b_cnt").cast("double") / F.col("__c_cnt").cast("double"),
+            )
+            .otherwise(F.lit(alpha) * s1)
+        )
     score = F.avg(F.log(s))
     if round_to is not None:
         score = F.round(score, round_to)

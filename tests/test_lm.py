@@ -198,7 +198,10 @@ def test_lm_buckets(spark):
 
 
 def test_score_plan_shape(spark):
-    """Model joins broadcast; the only shuffle is the per-doc agg."""
+    """Model joins broadcast; the only shuffle is the per-doc agg.
+    r9: the pruned-model path precomputes bigram ratios driver-side,
+    so scoring is TWO broadcast joins (bigram ratio + word unigram),
+    not three — the context-count join is gone."""
     docs = _docs(spark, _CORPUS)
     lm = train_word_lm(docs, min_count=1)
     uni = spark.createDataFrame(lm.unigrams.collect(), lm.unigrams.schema)
@@ -206,5 +209,5 @@ def test_score_plan_shape(spark):
     frozen = WordLM(uni, big, lm.n_tokens)
     plan = (score_lm(docs, frozen)
             ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("Exchange hashpartitioning") == 1
