@@ -65,19 +65,22 @@ def main() -> None:
     sections = []
     q = [(1, "spark join hash"), (2, "window agg group sort")]
     sections.append((
-        "Sharded BM25 search (exhaustive): bucket-pruned shard scan -> "
-        "decode (mapInPandas) -> broadcast joins (term df + query "
-        "terms) -> hash-agg score sum -> window-group-limit top-k",
+        "Sharded BM25 search (exhaustive, r9 vectorized): bucket-"
+        "pruned shard scan x broadcast(query groups) -> grouped "
+        "applyInPandas per (segment, qgroup) scoring whole posting "
+        "lists in numpy (posting BYTES shuffle once per segment per "
+        "query-group; per-term df collected driver-side, no second "
+        "scan subtree) -> round -> window-group-limit top-k. "
+        "Measured: 1M-doc 32-query batch 70.6s -> 1.9s vs the old "
+        "decode-join-agg shape",
         explain_str(search_sharded(idx, q, top_k=10)),
     ))
 
     sections.append((
-        "Block-Max WAND: bucket-pruned shard scan x broadcast(query "
-        "groups) -> grouped applyInPandas per (segment, qgroup) — "
-        "posting bytes are shuffled once per segment per query-group "
-        "(bounded fan-out), never once per query; the query spec "
-        "rides the UDF closure. Measured win at engagement scale: "
-        "bench wand_1m, 21.8s vs exhaustive 75.7s",
+        "Block-Max WAND: same physical layout; the grouped UDF runs "
+        "the seeded-floor Python DAAT for queries whose bounds can "
+        "discriminate and the shared vectorized scorer for the rest. "
+        "r9 measured: wand_1m strategy=wand 21.6s -> ~1.5-2s",
         explain_str(search_sharded(idx, q, top_k=10, strategy="wand")),
     ))
 
@@ -175,8 +178,10 @@ def main() -> None:
         "Repetition signals + deterministic split: the whole Gopher "
         "battery (duplicate-line fraction, top-2-gram share, "
         "duplicated-3-gram share) plus the md5-threshold split label "
-        "in ONE pass — zero Exchanges, pure JVM expressions, runs at "
-        "scan speed over 100 TB",
+        "in ONE pass — zero Exchanges; the n-gram counters are "
+        "Arrow-vectorized batch UDFs since r9 (one factorize + "
+        "lexsort per batch — measured ~2x over the interpreted JVM "
+        "folds), line metrics and the split stay pure JVM",
         explain_str(
             hash_split(
                 docs.select(
@@ -287,12 +292,15 @@ def main() -> None:
 
     lm = train_word_lm(docs, min_count=2)
     sections.append((
-        "Stupid-Backoff LM scoring (r8, CCNet stage): the corpus "
-        "explodes to (context, token) pairs and meets the PRUNED "
-        "model through three BroadcastHashJoins (bigram, context "
-        "unigram, token unigram — the model is broadcastable by "
-        "construction via min_count); the ONLY corpus shuffle is the "
-        "final per-doc average, which partial-aggregates map-side",
+        "Stupid-Backoff LM scoring (r8, CCNet stage; r9 two-join "
+        "form): the corpus explodes to (context, token) pairs and "
+        "meets the PRUNED model through TWO BroadcastHashJoins — the "
+        "bigram backoff ratio is precomputed driver-side "
+        "(bit-identical division), removing the context-unigram "
+        "join; the ONLY corpus shuffle is the final per-doc average, "
+        "which partial-aggregates map-side. Training is ONE "
+        "groupBy(w1, w2) counting pass since r9 (unigram counts are "
+        "column sums of the pair table)",
         explain_str(score_lm(docs, lm, round_to=6)),
     ))
 
