@@ -286,9 +286,21 @@ def remove_repeated_spans(
     # the staged array on read (guide §2.3: aggregate before you
     # shuffle / shuffle fewer bytes).
     if positions_path is not None and keys is None:
+        # repartition to the session's parallelism before the write:
+        # the array-packed staged frame is MUCH smaller on disk than
+        # the exploded rows it replaces (that was the point), so
+        # without this the downstream posexplode + join would read it
+        # as one or two input splits and run nearly serial — the r9
+        # bench showed the whole pass stuck at ~2-task parallelism.
+        # The repartition shuffles only the compact array rows.
+        par = max(
+            int(docs.sparkSession.sparkContext.defaultParallelism), 1
+        )
         docs.select(
             F.col(id_col), grams_expr.alias("_grams")
-        ).write.mode("overwrite").parquet(positions_path)
+        ).repartition(par).write.mode("overwrite").parquet(
+            positions_path
+        )
         staged = docs.sparkSession.read.parquet(positions_path)
         pos = staged.select(
             F.col(id_col), F.posexplode("_grams").alias("pos", key)
