@@ -322,14 +322,19 @@ def make_simhash64_udf(token_hash: str = "blake2b"):
             (tok_hash(t) for t in uniq), dtype=np.uint64, count=len(uniq)
         )
         h = uh[inv]
-        shifts = np.arange(64, dtype=np.uint64)
-        contrib = (
-            ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                np.int32
-            )
-            * 2
-            - 1
-        )
+        # bit matrix via np.unpackbits in TRANSPOSED (bit-major)
+        # orientation (r9): the old (tokens x 64) uint64 broadcast
+        # shift allocated ~640 MB of temporaries per million tokens
+        # and the axis-0 reduceat iterated each vote segment with a
+        # 256-byte stride — min-of-5 on this host: 1.69 s vs 0.25 s
+        # for the bit-major axis-1 reduceat, and unpackbits replaces
+        # the shift entirely (0.04 s). Votes are integer sums either
+        # way — signatures are bit-identical (parity test + the
+        # simhash_dups oracle pin it).
+        hb = np.ascontiguousarray(h.view(np.uint8).reshape(len(h), 8).T)
+        bits_t = np.unpackbits(hb, axis=0, bitorder="little").astype(
+            np.int32
+        )  # (64, n_tokens): row j = bit j of each token hash
         offsets = np.zeros(len(texts), dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
         # reduceat only over NON-EMPTY docs' offsets, scattered back:
@@ -338,11 +343,16 @@ def make_simhash64_udf(token_hash: str = "blake2b"):
         # to len(flat)-1 would silently truncate the PRECEDING doc's
         # vote segment, dropping its last token.)
         valid = np.flatnonzero(counts > 0)
-        votes = np.zeros((len(texts), 64), dtype=contrib.dtype)
-        votes[valid] = np.add.reduceat(contrib, offsets[valid], axis=0)
+        bitsum = np.zeros((64, len(texts)), dtype=np.int32)
+        bitsum[:, valid] = np.add.reduceat(
+            bits_t, offsets[valid], axis=1
+        )
+        # votes = (+1 per set bit) + (-1 per clear bit) = 2*ones - n
+        votes = 2 * bitsum - counts[None, :].astype(np.int32)
+        shifts = np.arange(64, dtype=np.uint64)
         sig = (
-            ((votes > 0).astype(np.uint64) << shifts[None, :])
-            .sum(axis=1, dtype=np.uint64)
+            ((votes > 0).astype(np.uint64) * (np.uint64(1) << shifts)[:, None])
+            .sum(axis=0, dtype=np.uint64)
             .view(np.int64)
         )
         return pd.Series(sig)
